@@ -1,0 +1,59 @@
+"""P2G/G2P transfer tests: scatter-add vs dense NumPy matmul oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from nlpartsol_tpu.ops import sparse
+
+
+def dense_from_pattern(ids, mask, w, n_nodes):
+    """Build the dense (Np, n_nodes) interpolation matrix."""
+    np_, k = ids.shape
+    A = np.zeros((np_, n_nodes))
+    for p in range(np_):
+        for j in range(k):
+            if mask[p, j]:
+                A[p, ids[p, j]] += w[p, j]
+    return A
+
+
+def test_p2g_g2p_match_dense():
+    rng = np.random.default_rng(0)
+    np_, k, n_nodes = 40, 6, 25
+    ids = rng.integers(0, n_nodes, (np_, k)).astype(np.int32)
+    mask = rng.uniform(size=(np_, k)) > 0.3
+    w = rng.standard_normal((np_, k)).astype(np.float32)
+    A = dense_from_pattern(ids, mask, w, n_nodes)
+
+    # scalar scatter
+    out = np.asarray(sparse.p2g(jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(w), n_nodes))
+    np.testing.assert_allclose(out, A.sum(0), rtol=1e-5, atol=1e-5)
+
+    # vector scatter: w * per-particle vector
+    vec = rng.standard_normal((np_, 3)).astype(np.float32)
+    vals = w[..., None] * vec[:, None, :]
+    out_v = np.asarray(
+        sparse.p2g(jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(vals), n_nodes)
+    )
+    np.testing.assert_allclose(out_v, A.T @ vec, rtol=1e-4, atol=1e-4)
+
+    # gather (transpose SpMV)
+    field = rng.standard_normal((n_nodes, 3)).astype(np.float32)
+    got = np.asarray(
+        sparse.g2p(jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(w), jnp.asarray(field))
+    )
+    np.testing.assert_allclose(got, A @ field, rtol=1e-4, atol=1e-4)
+
+    scal = rng.standard_normal((n_nodes,)).astype(np.float32)
+    got_s = np.asarray(
+        sparse.g2p(jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(w), jnp.asarray(scal))
+    )
+    np.testing.assert_allclose(got_s, A @ scal, rtol=1e-4, atol=1e-4)
+
+
+def test_out_of_range_dropped():
+    ids = jnp.array([[0, 99]], jnp.int32)  # 99 out of range for 10 nodes
+    mask = jnp.array([[True, True]])
+    w = jnp.array([[1.0, 1.0]], jnp.float32)
+    out = np.asarray(sparse.p2g(ids, mask, w, 10))
+    assert out[0] == 1.0 and out.sum() == 1.0
