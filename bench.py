@@ -1,0 +1,142 @@
+"""Headline benchmark: P2G+G2P throughput (nnz/s) of the full explicit LME
+MPM step on one chip (BASELINE.md self-measured metric #1).
+
+Counts every particle→node edge (nnz of the dynamic CSR pattern) touched per
+step; one step does 3 P2G scatters + 2 G2P gathers + LME evaluation +
+constitutive over that pattern, so nnz/s here is end-to-end pipeline
+throughput, not an isolated-scatter microbenchmark.
+
+The reference publishes no numbers (BASELINE.md) — vs_baseline compares to
+the round-1 recorded value in BENCH_BASELINE.json when present, else 1.0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_problem(n_side=512, ppc=2):
+    import jax.numpy as jnp
+
+    from nlpartsol_tpu.types import Grid, make_particles
+    from nlpartsol_tpu.models import materials as M
+
+    h = 1.0 / (n_side - 1)
+    dims = (n_side, n_side)
+    grid = Grid(dims=dims, spacing=h, origin=(0.0, 0.0))
+    # particles fill the central half of the domain
+    lo_cell, hi_cell = n_side // 4, 3 * n_side // 4
+    ncell = hi_cell - lo_cell
+    i, j, a, b = np.meshgrid(
+        np.arange(ncell), np.arange(ncell), np.arange(ppc), np.arange(ppc), indexing="ij"
+    )
+    x = np.stack(
+        [
+            (lo_cell + i + (a + 0.5) / ppc) * h,
+            (lo_cell + j + (b + 0.5) / ppc) * h,
+        ],
+        axis=-1,
+    ).reshape(-1, 2).astype(np.float32)
+    vol = (h / ppc) ** 2
+    rho = 1000.0
+    p = make_particles(
+        x,
+        mass=np.full(len(x), rho * vol, np.float32),
+        vol0=np.full(len(x), vol, np.float32),
+    )
+    # small random velocity field so the deformation path is nontrivial
+    rng = np.random.default_rng(0)
+    p = p.replace(v=jnp.asarray(0.01 * rng.standard_normal(x.shape), jnp.float32))
+    mats = M.material_table(
+        [M.material(kind="Neo-Hookean-Wriggers", E=1e7, nu=0.3, rho0=rho)]
+    )
+    return grid, p, mats, h
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nlpartsol_tpu.formulations.explicit import ExplicitConfig, explicit_step
+    from nlpartsol_tpu.models import materials as M
+    from nlpartsol_tpu.shapefun import lme
+
+    n_steps = int(os.environ.get("BENCH_STEPS", "30"))
+    grid, p, mats, h = build_problem(
+        n_side=int(os.environ.get("BENCH_GRID", "512")),
+        ppc=int(os.environ.get("BENCH_PPC", "2")),
+    )
+    cel = np.sqrt(1e7 / 1000.0)
+    from nlpartsol_tpu.ops import windowed
+    n_side = grid.dims[0]
+    # particles occupy the central half; active box covers it + margin
+    box = windowed.ActiveBox(
+        offset=(n_side // 4 - 2,) * 2,
+        cdims=(n_side // 2 + 4,) * 2,
+        capacity=6,
+    )
+    cfg = ExplicitConfig(
+        dt=0.25 * h / cel,
+        shapefun="lme",
+        lme_params=lme.LMEParams(gamma=3.0),
+        kinds=(M.NEO_HOOKEAN,),
+        transfer="windowed",
+        active_box=box,
+    )
+    body = jnp.zeros((2,), jnp.float32)
+
+    from nlpartsol_tpu.formulations.explicit import to_slot_layout
+
+    p = to_slot_layout(p, grid, box)
+
+    def many_steps(p):
+        def bd(carry, _):
+            pp = carry
+            pp, diag = explicit_step(pp, grid, mats, cfg, body)
+            return pp, diag["nnz"]
+
+        return jax.lax.scan(bd, p, None, length=n_steps)
+
+    fn = jax.jit(many_steps)
+    # warmup + compile
+    p1, nnz = fn(p)
+    p1.x.block_until_ready()
+    # timed run (continue from warmed state so the pattern is realistic)
+    t0 = time.perf_counter()
+    p2, nnz = fn(p1)
+    p2.x.block_until_ready()
+    t1 = time.perf_counter()
+
+    total_nnz = int(np.asarray(nnz).astype(np.int64).sum())
+    value = total_nnz / (t1 - t0)
+
+    vs_baseline = 1.0
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+    if os.path.exists(base_path):
+        try:
+            base = json.load(open(base_path))
+            if base.get("value"):
+                vs_baseline = value / float(base["value"])
+        except Exception:
+            pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "explicit_lme_step_p2g_g2p_throughput",
+                "value": value,
+                "unit": "nnz/s",
+                "vs_baseline": vs_baseline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -1,0 +1,25 @@
+"""Shared step machinery: shape-function dispatch + transfer-engine build."""
+
+from __future__ import annotations
+
+from ..ops import transfer
+from ..shapefun import fem, lme
+
+
+def shapefun_eval(cfg, grid, p):
+    """Evaluate the configured shape functions.  Returns (sf dict,
+    offsets (K, d) static numpy array)."""
+    if cfg.shapefun == "lme":
+        sf = lme.evaluate(grid, p.x, p.lme_lambda, cfg.lme_params)
+        return sf, lme.offsets_for(grid.dim, cfg.lme_params)
+    if cfg.shapefun == "fem":
+        return fem.evaluate(grid, p.x), fem.offsets_for(grid.dim)
+    raise ValueError(f"unknown shapefun {cfg.shapefun}")
+
+
+def make_engine(cfg, grid, sf, offsets, mask):
+    if cfg.transfer == "windowed":
+        if cfg.active_box is None:
+            raise ValueError("windowed transfer requires cfg.active_box")
+        return transfer.WindowedEngine(grid, cfg.active_box, offsets, mask, cfg.axis_name)
+    return transfer.ScatterEngine(grid, sf["node_ids"], mask, cfg.axis_name)

@@ -16,12 +16,13 @@ revision, U-Verlet.c:137-149; this implements the full scheme):
     lumped equilibrium  a_A = b + f_A/m_A, reactions on fixed dofs (:906)
     G2P accel/displacement + corrector  v += γΔt·a, x += Δu  (:1024)
 
+Transfers run through ops/transfer.py: 'windowed' (scatter-free slot
+layout; TPU production path) or 'scatter' (general fallback).
 One jitted pure function: Particles × nodal inputs → Particles.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -30,8 +31,9 @@ from flax import struct
 
 from ..models import dispatch as con
 from ..models.materials import MaterialTable
-from ..ops import sparse
+from ..ops import transfer, windowed
 from ..ops import tensor as tn
+from ..ops.sparse import nnz as count_nnz
 from ..shapefun import fem, lme
 from ..types import Grid, Particles
 from . import kinematics as kin
@@ -47,14 +49,15 @@ class ExplicitConfig:
     )
     kinds: tuple = struct.field(pytree_node=False, default=(3,))  # NEO_HOOKEAN
     mass_tol: float = struct.field(pytree_node=False, default=1e-12)
+    # transfer backend: 'windowed' (needs active_box) or 'scatter'
+    transfer: str = struct.field(pytree_node=False, default="scatter")
+    active_box: windowed.ActiveBox = struct.field(pytree_node=False, default=None)
+    # shard_map axis over which particles are sharded (grid replicated);
+    # None = single device
+    axis_name: str = struct.field(pytree_node=False, default=None)
 
 
-def _shapefun(cfg: ExplicitConfig, grid: Grid, p: Particles):
-    if cfg.shapefun == "lme":
-        return lme.evaluate(grid, p.x, p.lme_lambda, cfg.lme_params)
-    if cfg.shapefun == "fem":
-        return fem.evaluate(grid, p.x)
-    raise ValueError(f"unknown shapefun {cfg.shapefun}")
+from .common import make_engine, shapefun_eval
 
 
 def explicit_step(
@@ -69,17 +72,27 @@ def explicit_step(
     """One explicit step.  Returns (particles_{n+1}, diagnostics)."""
     dt = cfg.dt
     gamma = cfg.gamma
-    d = p.dim
     n_nodes = grid.n_nodes
+
+    lost = jnp.zeros((), jnp.int32)
+    if cfg.transfer == "windowed":
+        binning = windowed.bin_particles(grid, cfg.active_box, p.x, p.active)
+        if traction is not None:
+            idx = jnp.minimum(binning.slot_particle, traction.shape[0] - 1)
+            traction = jnp.where(binning.valid[:, None], traction[idx], 0.0)
+            traction_area = jnp.where(binning.valid, traction_area[idx], 0.0)
+        p = windowed.permute_to_slots(p, binning)
+        lost = binning.lost
+
     act = p.active
 
     # --- shape functions (fused local search + N + ∇N) ---
-    sf = _shapefun(cfg, grid, p)
-    ids, N, dN, mask = sf["node_ids"], sf["N"], sf["dN"], sf["mask"]
-    mask = mask & act[:, None]
+    sf, offsets = shapefun_eval(cfg, grid, p)
+    N, dN, mask = sf["N"], sf["dN"], sf["mask"] & act[:, None]
+    eng = make_engine(cfg, grid, sf, offsets, mask)
 
     # --- lumped mass ---
-    m_nodes = sparse.masked_lumped_mass(ids, mask, N, p.mass, n_nodes)
+    m_nodes = eng.p2g(N * p.mass[:, None])
     m_safe = jnp.maximum(m_nodes, cfg.mass_tol)[:, None]
 
     # --- particle predictor ---
@@ -88,22 +101,20 @@ def explicit_step(
 
     # --- P2G displacement increment, mass-weighted recovery ---
     mom = (N * p.mass[:, None])[..., None] * d_dis_p[:, None, :]  # (Np,K,d)
-    d_dis_nodes = sparse.p2g(ids, mask, mom, n_nodes) / m_safe
+    d_dis_nodes = eng.p2g(mom) / m_safe
 
-    # --- Dirichlet on nodal displacement increments ---
+    # --- Dirichlet on nodal increments ---
     if grid.dirichlet_mask is not None:
-        d_dis_nodes = jnp.where(
-            grid.dirichlet_mask, grid.dirichlet_value, d_dis_nodes
-        )
+        d_dis_nodes = jnp.where(grid.dirichlet_mask, grid.dirichlet_value, d_dis_nodes)
 
     # --- local compatibility: ΔF, F_{n+1}, J ---
-    DF = kin.incremental_deformation_gradient(ids, mask, dN, d_dis_nodes)
+    du_edges = eng.edge_gather(d_dis_nodes)
+    DF = kin.incremental_deformation_gradient(du_edges, dN)
     F_n1 = DF @ p.F
     J_n1 = tn.det(F_n1)
     J_n1 = jnp.where(J_n1 > 0.0, J_n1, 0.0)  # negative-J clamp (U-Newmark-beta.c:1137)
-    dt_DF = kin.rate_increment_deformation_gradient(
-        ids, mask, dN, d_dis_nodes / dt
-    )
+    d = p.dim
+    dt_DF = (DF - jnp.eye(d, dtype=DF.dtype)) / dt
     dFdt_n1 = kin.rate_deformation_gradient_n1(dt_DF, p.F, DF, p.dFdt)
 
     # --- constitutive update ---
@@ -124,15 +135,13 @@ def explicit_step(
 
     # --- internal forces: f_A = −Σ_p V0 τ ∇N^{n+1}  ---
     dN1 = kin.push_forward_dN(dN, DF)
-    f_int_contrib = -jnp.einsum(
-        "pij,pkj->pki", tau_eff * p.vol0[:, None, None], dN1
-    )
-    forces = sparse.p2g(ids, mask, f_int_contrib, n_nodes)
+    f_int_contrib = -jnp.einsum("pij,pkj->pki", tau_eff * p.vol0[:, None, None], dN1)
+    forces = eng.p2g(f_int_contrib)
 
     # --- traction (Neumann) forces: f_A += Σ_p N A0 t̄ ---
     if traction is not None:
         tr = (N * traction_area[:, None])[..., None] * traction[:, None, :]
-        forces = forces + sparse.p2g(ids, mask, tr, n_nodes)
+        forces = forces + eng.p2g(tr)
 
     # --- lumped equilibrium + reactions ---
     accel_nodes = body_accel[None, :] + forces / m_safe
@@ -143,18 +152,19 @@ def explicit_step(
         reactions = jnp.zeros_like(forces)
 
     # --- G2P + corrector ---
-    a_p = sparse.g2p(ids, mask, N, accel_nodes)
-    d_dis_p_smooth = sparse.g2p(ids, mask, N, d_dis_nodes)
+    a_p = eng.g2p(N, accel_nodes)
+    d_dis_p_smooth = eng.g2p(N, d_dis_nodes)
     v_new = v_pred + gamma * dt * a_p
     x_new = p.x + d_dis_p_smooth
 
     rho_new = p.mass / (p.vol0 * jnp.maximum(J_n1, 1e-12))
 
+    sel = act[:, None]
     p_out = p.replace(
-        x=jnp.where(act[:, None], x_new, p.x),
-        v=jnp.where(act[:, None], v_new, p.v),
-        a=jnp.where(act[:, None], a_p, p.a),
-        dis=p.dis + jnp.where(act[:, None], d_dis_p_smooth, 0.0),
+        x=jnp.where(sel, x_new, p.x),
+        v=jnp.where(sel, v_new, p.v),
+        a=jnp.where(sel, a_p, p.a),
+        dis=p.dis + jnp.where(sel, d_dis_p_smooth, 0.0),
         rho=rho_new,
         F=F_n1,
         dFdt=dFdt_n1,
@@ -169,13 +179,29 @@ def explicit_step(
         W=cs.W,
         lme_lambda=sf["lam"] if sf["lam"] is not None else p.lme_lambda,
     )
+    nnz = count_nnz(mask)
+    ke = 0.5 * jnp.sum(p.mass[:, None] * v_new * v_new, where=act[:, None])
+    se = jnp.sum(cs.W * p.vol0, where=act)
+    if cfg.axis_name is not None:
+        nnz = jax.lax.psum(nnz, cfg.axis_name)
+        ke = jax.lax.psum(ke, cfg.axis_name)
+        se = jax.lax.psum(se, cfg.axis_name)
+        lost = jax.lax.psum(lost, cfg.axis_name)
     diag = dict(
-        nnz=sparse.nnz(mask),
+        nnz=nnz,
         reactions=reactions,
-        kinetic_energy=0.5 * jnp.sum(p.mass[:, None] * v_new * v_new, where=act[:, None]),
-        strain_energy=jnp.sum(cs.W * p.vol0, where=act),
+        kinetic_energy=ke,
+        strain_energy=se,
+        lost=lost,
     )
     return p_out, diag
+
+
+def to_slot_layout(p: Particles, grid: Grid, box: windowed.ActiveBox) -> Particles:
+    """Convert an arbitrary particle set to windowed slot layout (do once
+    before a windowed run so the scan carry shape is invariant)."""
+    binning = windowed.bin_particles(grid, box, p.x, p.active)
+    return windowed.permute_to_slots(p, binning)
 
 
 def run(
@@ -190,11 +216,13 @@ def run(
     d = p.dim
     if body_accel is None:
         body_accel = jnp.zeros((d,), p.x.dtype)
+    if cfg.transfer == "windowed":
+        p = to_slot_layout(p, grid, cfg.active_box)
 
     def body(carry, _):
         pp = carry
         pp, diag = explicit_step(pp, grid, mats, cfg, body_accel)
-        return pp, (diag["kinetic_energy"], diag["strain_energy"])
+        return pp, (diag["kinetic_energy"], diag["strain_energy"], diag["nnz"])
 
-    p_final, (ke, se) = jax.lax.scan(body, p, None, length=n_steps)
-    return p_final, dict(kinetic_energy=ke, strain_energy=se)
+    p_final, (ke, se, nnz) = jax.lax.scan(body, p, None, length=n_steps)
+    return p_final, dict(kinetic_energy=ke, strain_energy=se, nnz=nnz)

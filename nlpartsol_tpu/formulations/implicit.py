@@ -1,0 +1,290 @@
+"""Implicit Newmark-β and quasi-static drivers (the flagship implicit path).
+
+Re-designs /root/reference/nl-partsol/src/Formulations/Displacements/
+U-Newmark-beta.c (PETSc SNES + AIJ + PCJACOBI) and U-Static.c as a
+matrix-free Newton-Krylov on the masked structured grid:
+
+  Newmark parameters α₁..α₆               (:497-514)
+  lumped mass                              (:528)
+  nodal v/a projection (P2G ÷ mass)        (:615)
+  residual R(dU) = F_int(dU) + F_tra + M⊙(α₁dU − α₂u̇ₙ − α₃üₙ − b)
+                                           (:970-1050, 1257-1556)
+  Jacobian = Σ_p V0·stiffness_density + α₁·M   (:1646-1830)
+       → here: exact J·v by jax.jvp through R (no BSR assembly on the
+         Newton path; the assembled-BSR module serves the preconditioner
+         and standalone SpMV needs)
+  Dirichlet via dof masking (the MatZeroRowsColumnsIS equivalent, :1827)
+  FLIP/PIC particle update                 (:1993-2064)
+
+The quasi-static mode is the same machinery without inertial terms
+(U-Static.c:83), used for gravity pre-load stages (-ff flow,
+driver-nl-partsol.c:206-292).
+
+Transfers run through ops/transfer.py ('windowed' scatter-free slot layout
+or 'scatter' fallback); each Newton/CG residual evaluation costs one
+edge-gather + one P2G, both dense in windowed mode.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..models import dispatch as con
+from ..models.materials import MaterialTable, lame_parameters
+from ..ops import solvers, windowed
+from ..ops import tensor as tn
+from ..ops.sparse import nnz as count_nnz
+from ..shapefun import lme
+from ..types import Grid, Particles
+from . import kinematics as kin
+from .common import make_engine, shapefun_eval
+
+
+class NewmarkParams(NamedTuple):
+    """α₁..α₆ (__compute_Newmark_parameters, U-Newmark-beta.c:497-514)."""
+
+    alpha_1: float
+    alpha_2: float
+    alpha_3: float
+    alpha_4: float
+    alpha_5: float
+    alpha_6: float
+    dt: float
+
+
+def newmark_parameters(beta: float, gamma: float, dt: float) -> NewmarkParams:
+    return NewmarkParams(
+        alpha_1=1.0 / (beta * dt * dt),
+        alpha_2=1.0 / (beta * dt),
+        alpha_3=(1.0 - 2.0 * beta) / (2.0 * beta),
+        alpha_4=gamma / (beta * dt),
+        alpha_5=1.0 - gamma / beta,
+        alpha_6=(1.0 - gamma / (2.0 * beta)) * dt,
+        dt=dt,
+    )
+
+
+@struct.dataclass
+class ImplicitConfig:
+    dt: float = struct.field(pytree_node=False)
+    beta: float = struct.field(pytree_node=False, default=0.25)
+    gamma: float = struct.field(pytree_node=False, default=0.5)
+    shapefun: str = struct.field(pytree_node=False, default="lme")
+    lme_params: lme.LMEParams = struct.field(
+        pytree_node=False, default_factory=lme.LMEParams
+    )
+    kinds: tuple = struct.field(pytree_node=False, default=(3,))
+    mass_tol: float = struct.field(pytree_node=False, default=1e-12)
+    # Solver tolerances (reference: TOL_NR 1e-5 Macros.h:40; KSP defaults)
+    newton_tol: float = struct.field(pytree_node=False, default=1e-5)
+    newton_maxiter: int = struct.field(pytree_node=False, default=20)
+    cg_tol: float = struct.field(pytree_node=False, default=1e-7)
+    cg_maxiter: int = struct.field(pytree_node=False, default=200)
+    alpha_blend: float = struct.field(pytree_node=False, default=1.0)  # 1 ⇒ FLIP
+    quasi_static: bool = struct.field(pytree_node=False, default=False)
+    # transfer backend: 'windowed' (needs active_box) or 'scatter'
+    transfer: str = struct.field(pytree_node=False, default="scatter")
+    active_box: windowed.ActiveBox = struct.field(pytree_node=False, default=None)
+    # shard_map axis over which particles are sharded (grid replicated)
+    axis_name: str = struct.field(pytree_node=False, default=None)
+
+
+def implicit_step(
+    p: Particles,
+    grid: Grid,
+    mats: MaterialTable,
+    cfg: ImplicitConfig,
+    body_accel: jax.Array,
+    traction: Optional[jax.Array] = None,
+    traction_area: Optional[jax.Array] = None,
+):
+    """One implicit Newmark-β (or quasi-static) step."""
+    d = p.dim
+    n_nodes = grid.n_nodes
+    nm = newmark_parameters(cfg.beta, cfg.gamma, cfg.dt)
+
+    lost = jnp.zeros((), jnp.int32)
+    if cfg.transfer == "windowed":
+        binning = windowed.bin_particles(grid, cfg.active_box, p.x, p.active)
+        if traction is not None:
+            idx = jnp.minimum(binning.slot_particle, traction.shape[0] - 1)
+            traction = jnp.where(binning.valid[:, None], traction[idx], 0.0)
+            traction_area = jnp.where(binning.valid, traction_area[idx], 0.0)
+        p = windowed.permute_to_slots(p, binning)
+        lost = binning.lost
+
+    act = p.active
+
+    sf, offsets = shapefun_eval(cfg, grid, p)
+    N, dN, mask = sf["N"], sf["dN"], sf["mask"] & act[:, None]
+    eng = make_engine(cfg, grid, sf, offsets, mask)
+
+    m_nodes = eng.p2g(N * p.mass[:, None])
+    m_safe = jnp.maximum(m_nodes, cfg.mass_tol)[:, None]
+    has_mass = (m_nodes > cfg.mass_tol)[:, None]
+
+    # nodal fields at t=n: variational recovery (P2G ÷ lumped mass, :615)
+    def project(field_p):
+        mom = (N * p.mass[:, None])[..., None] * field_p[:, None, :]
+        return eng.p2g(mom) / m_safe
+
+    Un_dt = project(p.v)
+    Un_dt2 = project(p.a)
+
+    # free-dof mask: active (mass-carrying) nodes minus Dirichlet
+    if grid.dirichlet_mask is not None:
+        free = has_mass & ~grid.dirichlet_mask
+        dU_dirichlet = jnp.where(grid.dirichlet_mask, grid.dirichlet_value, 0.0)
+    else:
+        free = has_mass
+        dU_dirichlet = jnp.zeros((n_nodes, d), p.x.dtype)
+
+    # dU̇ = α₄·dU + const; the constant part's displacement gradient is fixed
+    # per step — precompute its edge contribution once.
+    vel_const_nodes = (nm.alpha_5 - 1.0) * Un_dt + nm.alpha_6 * Un_dt2
+    grad_vel_const = kin.disp_gradient(eng.edge_gather(vel_const_nodes), dN)
+
+    def local_state(dU):
+        """ΔF, F_{n+1}, stress at the current Newton iterate (does NOT
+        mutate particle state — the reference recomputes per residual call
+        the same way, :1064-1256)."""
+        du_edges = eng.edge_gather(dU)
+        grad_du = kin.disp_gradient(du_edges, dN)
+        DF = grad_du + jnp.eye(d, dtype=grad_du.dtype)
+        F_n1 = DF @ p.F
+        dt_DF = nm.alpha_4 * grad_du + grad_vel_const
+        dFdt_n1 = kin.rate_deformation_gradient_n1(dt_DF, p.F, DF, p.dFdt)
+        cs = con.stress_integration(
+            F_n1=F_n1,
+            DF=DF,
+            dFdt_n1=dFdt_n1,
+            bemi=p.bemi,
+            bemi_zz=p.bemi_zz,
+            eps=p.eps,
+            kappa=p.kappa,
+            back_stress=p.back_stress,
+            mat_id=p.mat_id,
+            mats=mats,
+            kinds=cfg.kinds,
+        )
+        return DF, F_n1, dFdt_n1, cs
+
+    def residual(dU_free):
+        # Prescribed increments live on Dirichlet dofs; unknowns on free dofs
+        dU = jnp.where(free, dU_free, dU_dirichlet)
+        DF, F_n1, dFdt_n1, cs = local_state(dU)
+        tau_eff = cs.tau * (1.0 - p.damage)[:, None, None]
+        dN1 = kin.push_forward_dN(dN, DF)
+        fi = jnp.einsum("pij,pkj->pki", tau_eff * p.vol0[:, None, None], dN1)
+        R = eng.p2g(fi)  # internal forces (+ sign, :1257)
+        if traction is not None:
+            tr = (N * traction_area[:, None])[..., None] * traction[:, None, :]
+            R = R - eng.p2g(tr)  # −N·t̄·A0 (:1388-1500)
+        if cfg.quasi_static:
+            R = R - m_nodes[:, None] * body_accel[None, :]
+        else:
+            R = R + m_nodes[:, None] * (
+                nm.alpha_1 * dU
+                - nm.alpha_2 * Un_dt
+                - nm.alpha_3 * Un_dt2
+                - body_accel[None, :]
+            )
+        return jnp.where(free, R, 0.0)
+
+    # Jacobi preconditioner: α₁·m + a spectrally-scaled stiffness diagonal
+    # Σ_p V0 (λ+2G) |∇N_pA|² (PCJACOBI equivalent, :326-335)
+    lam_p, G_p = lame_parameters(mats.E[p.mat_id], mats.nu[p.mat_id])
+    stiff_scale = (lam_p + 2.0 * G_p) * p.vol0
+    diag_K = eng.p2g(stiff_scale[:, None] * jnp.sum(dN * dN, axis=-1))
+    diag = diag_K[:, None] + (0.0 if cfg.quasi_static else nm.alpha_1 * m_nodes[:, None])
+    diag = jnp.where(free, jnp.maximum(diag, 1e-30), 1.0)
+
+    def M_inv(r):
+        return r / diag
+
+    res = solvers.newton_krylov(
+        residual,
+        jnp.zeros((n_nodes, d), p.x.dtype),
+        M_inv=M_inv,
+        tol=cfg.newton_tol,
+        maxiter=cfg.newton_maxiter,
+        cg_tol=cfg.cg_tol,
+        cg_maxiter=cfg.cg_maxiter,
+    )
+    dU = jnp.where(free, res.x, dU_dirichlet)
+
+    # kinetic increments (:1834-1906)
+    dU_dt = nm.alpha_4 * dU + (nm.alpha_5 - 1.0) * Un_dt + nm.alpha_6 * Un_dt2
+    dU_dt2 = nm.alpha_1 * dU - nm.alpha_2 * Un_dt - (nm.alpha_3 + 1.0) * Un_dt2
+
+    # final state at converged dU
+    DF, F_n1, dFdt_n1, cs = local_state(dU)
+    J_n1 = tn.det(F_n1)
+    J_n1 = jnp.where(J_n1 > 0.0, J_n1, 0.0)
+
+    # FLIP/PIC particle update (:1993-2064); alpha_blend=1 ⇒ pure FLIP
+    a_blend = cfg.alpha_blend
+    dis_inc = eng.g2p(N, dU)
+    dv = eng.g2p(N, dU_dt + (1.0 - a_blend) * Un_dt)
+    da = eng.g2p(N, dU_dt2)
+
+    sel = act[:, None]
+    p_out = p.replace(
+        x=jnp.where(sel, p.x + dis_inc, p.x),
+        dis=jnp.where(sel, p.dis + dis_inc, p.dis),
+        v=jnp.where(sel, a_blend * p.v + dv, p.v),
+        a=jnp.where(sel, p.a + da, p.a),
+        rho=p.mass / (p.vol0 * jnp.maximum(J_n1, 1e-12)),
+        F=F_n1,
+        dFdt=dFdt_n1,
+        J=J_n1,
+        bemi=cs.bemi,
+        bemi_zz=cs.bemi_zz,
+        stress=cs.tau,
+        stress_zz=cs.tau_zz,
+        eps=cs.eps,
+        kappa=cs.kappa,
+        back_stress=cs.back_stress,
+        W=cs.W,
+        lme_lambda=sf["lam"] if sf["lam"] is not None else p.lme_lambda,
+    )
+    nnz = count_nnz(mask)
+    if cfg.axis_name is not None:
+        nnz = jax.lax.psum(nnz, cfg.axis_name)
+        lost = jax.lax.psum(lost, cfg.axis_name)
+    diag_out = dict(
+        nnz=nnz,
+        newton_iters=res.iters,
+        newton_residual=res.residual_norm,
+        converged=res.converged,
+        lost=lost,
+    )
+    return p_out, diag_out
+
+
+def run(
+    p: Particles,
+    grid: Grid,
+    mats: MaterialTable,
+    cfg: ImplicitConfig,
+    n_steps: int,
+    body_accel=None,
+):
+    if body_accel is None:
+        body_accel = jnp.zeros((p.dim,), p.x.dtype)
+    if cfg.transfer == "windowed":
+        from .explicit import to_slot_layout
+
+        p = to_slot_layout(p, grid, cfg.active_box)
+
+    def body(carry, _):
+        pp = carry
+        pp, dg = implicit_step(pp, grid, mats, cfg, body_accel)
+        return pp, (dg["newton_iters"], dg["newton_residual"])
+
+    p_final, (iters, rnorm) = jax.lax.scan(body, p, None, length=n_steps)
+    return p_final, dict(newton_iters=iters, newton_residual=rnorm)

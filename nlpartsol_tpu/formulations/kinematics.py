@@ -1,7 +1,8 @@
 """Particle kinematics kernels (reference src/Particles/compute-Strains.c).
 
-All batched over particles; the nodal gathers arrive pre-contracted from the
-sparse G2P so these are pure per-particle tensor algebra on the VPU.
+All batched over particles; nodal values arrive as per-edge arrays from the
+transfer engine (ops/transfer.py), so these are pure per-particle tensor
+algebra on the VPU.
 """
 
 from __future__ import annotations
@@ -9,35 +10,21 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops import sparse
 from ..ops import tensor as tn
 
 
-def incremental_deformation_gradient(
-    node_ids, mask, dN, d_disp_nodes
-) -> jax.Array:
+def disp_gradient(edge_vals: jax.Array, dN: jax.Array) -> jax.Array:
+    """Σ_A u_A ⊗ ∇N_A from per-edge nodal values (Np, K, d) and gradients
+    (Np, K, d) → (Np, d, d)."""
+    return jnp.einsum("pki,pkj->pij", edge_vals, dN)
+
+
+def incremental_deformation_gradient(du_edges, dN) -> jax.Array:
     """ΔF = I + Σ_A Δu_A ⊗ ∇N_A (update_increment_Deformation_Gradient__
-    Particles__, compute-Strains.c:20-43).
-
-    Args:
-      node_ids/mask: (Np, K) pattern.
-      dN: (Np, K, d) shape gradients.
-      d_disp_nodes: (n_nodes, d) nodal incremental displacement.
-    Returns:
-      (Np, d, d).
-    """
-    du = d_disp_nodes[node_ids]  # (Np, K, d)
-    du = jnp.where(mask[..., None], du, 0.0)
-    grad = jnp.einsum("pki,pkj->pij", du, dN)  # Δu ⊗ ∇N summed over K
+    Particles__, compute-Strains.c:20-43)."""
+    g = disp_gradient(du_edges, dN)
     d = dN.shape[-1]
-    return grad + jnp.eye(d, dtype=grad.dtype)
-
-
-def rate_increment_deformation_gradient(node_ids, mask, dN, d_vel_nodes):
-    """dΔF/dt = Σ_A Δv_A ⊗ ∇N_A (compute-Strains.c:48-72)."""
-    dv = d_vel_nodes[node_ids]
-    dv = jnp.where(mask[..., None], dv, 0.0)
-    return jnp.einsum("pki,pkj->pij", dv, dN)
+    return g + jnp.eye(d, dtype=g.dtype)
 
 
 def rate_deformation_gradient_n1(dt_DF, F_n, DF, dFdt_n):

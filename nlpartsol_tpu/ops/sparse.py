@@ -25,8 +25,14 @@ def p2g(
     mask: jax.Array,  # (Np, K) bool
     vals: jax.Array,  # (Np, K) or (Np, K, c) per-edge contributions
     n_nodes: int,
+    axis_name: str = None,
 ) -> jax.Array:
     """Scatter-add edge contributions to grid nodes.
+
+    Under shard_map with particles sharded over ``axis_name`` and grid
+    vectors replicated, the local partial sums are combined with a psum —
+    the collective seam of the particle-parallel decomposition
+    (SURVEY.md §2.9: the only inter-device coupling in MPM is P2G).
 
     Returns (n_nodes,) or (n_nodes, c).
     """
@@ -34,12 +40,15 @@ def p2g(
     if vals.ndim == 2:
         flat_vals = jnp.where(mask, vals, 0).reshape(-1)
         out = jnp.zeros((n_nodes,), vals.dtype)
-        return out.at[flat_ids].add(flat_vals, mode="drop")
+        out = out.at[flat_ids].add(flat_vals, mode="drop")
     else:
         c = vals.shape[-1]
         flat_vals = jnp.where(mask[..., None], vals, 0).reshape(-1, c)
         out = jnp.zeros((n_nodes, c), vals.dtype)
-        return out.at[flat_ids].add(flat_vals, mode="drop")
+        out = out.at[flat_ids].add(flat_vals, mode="drop")
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
 
 
 def g2p(
@@ -64,8 +73,13 @@ def nnz(mask: jax.Array) -> jax.Array:
 
 
 def masked_lumped_mass(
-    node_ids: jax.Array, mask: jax.Array, N: jax.Array, mass_p: jax.Array, n_nodes: int
+    node_ids: jax.Array,
+    mask: jax.Array,
+    N: jax.Array,
+    mass_p: jax.Array,
+    n_nodes: int,
+    axis_name: str = None,
 ) -> jax.Array:
     """Lumped nodal mass m_A = Σ_p m_p N_pA (``__mass_NODES``,
     U-Verlet.c:166; ``__compute_nodal_lumped_mass``, U-Newmark-beta.c:528)."""
-    return p2g(node_ids, mask, N * mass_p[:, None], n_nodes)
+    return p2g(node_ids, mask, N * mass_p[:, None], n_nodes, axis_name=axis_name)

@@ -1,0 +1,213 @@
+"""Scatter-free ("windowed") particle↔grid transfer engine.
+
+THE core TPU performance design of this framework.  XLA scatter-adds with
+random indices run at ~0.04 G edges/s on TPU (serialized updates), while
+dense VPU work runs 3-4 orders of magnitude faster.  On a structured
+background grid the P2G/G2P sparsity is *banded by construction* — every
+particle touches exactly the (2W+1)^d node window around its cell — so the
+transfers can be reorganised as dense operations:
+
+1. **Cell binning**: particles are binned into per-cell slots of a static
+   ``capacity`` C over a static ``ActiveBox`` of cells (sort by cell id +
+   rank-within-cell; one Np-sized scatter builds the slot table).  Particle
+   state then lives in slot layout: arrays of static size Ns = Ncells·C.
+2. **P2G**: per-edge values (Ns, K, c) → reshape (cells…, C, K, c) → sum
+   over C → for each static window offset k, a *static-slice* dense add
+   into the node array.  Zero scatters.
+3. **G2P**: for each static offset k, a static slice of the node array is
+   broadcast-multiplied into the slot array.  Zero gathers.
+
+This is the TPU replacement for the reference's per-particle linked-list
+scatter loops with ``#pragma omp critical`` (U-Newmark-beta.c:582-586) —
+and the reason the framework's structured-grid path needs no general SpMM.
+
+Particles that leave the ActiveBox or overflow a cell's capacity are
+dropped from the simulation (counted in ``Binning.lost``); size the box and
+capacity for the problem's reachable extent.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .. import config
+from ..types import Grid, Particles
+
+
+def _prod(xs):
+    return reduce(lambda a, b: a * b, xs, 1)
+
+
+@struct.dataclass
+class ActiveBox:
+    """Static cell subgrid that carries particle slots."""
+
+    offset: tuple = struct.field(pytree_node=False)  # cell origin (per axis)
+    cdims: tuple = struct.field(pytree_node=False)  # cells per axis
+    capacity: int = struct.field(pytree_node=False)  # slots per cell (C)
+
+    @property
+    def n_cells(self) -> int:
+        return _prod(self.cdims)
+
+    @property
+    def n_slots(self) -> int:
+        return self.n_cells * self.capacity
+
+    @property
+    def dim(self) -> int:
+        return len(self.cdims)
+
+
+def full_box(grid: Grid, capacity: int) -> ActiveBox:
+    return ActiveBox(
+        offset=(0,) * grid.dim,
+        cdims=tuple(n - 1 for n in grid.dims),
+        capacity=capacity,
+    )
+
+
+def box_for_extent(grid: Grid, lo, hi, capacity: int, margin: int = 1) -> ActiveBox:
+    """ActiveBox covering [lo, hi] (world coords) plus a cell margin."""
+    lo_c = np.floor((np.asarray(lo) - np.asarray(grid.origin)) / grid.spacing).astype(int) - margin
+    hi_c = np.floor((np.asarray(hi) - np.asarray(grid.origin)) / grid.spacing).astype(int) + margin
+    lo_c = np.maximum(lo_c, 0)
+    hi_c = np.minimum(hi_c, np.asarray(grid.dims) - 2)
+    return ActiveBox(
+        offset=tuple(int(v) for v in lo_c),
+        cdims=tuple(int(v) for v in (hi_c - lo_c + 1)),
+        capacity=capacity,
+    )
+
+
+@struct.dataclass
+class Binning:
+    box: ActiveBox
+    slot_particle: jax.Array  # (Ns,) int32 index into source order; Np ⇒ empty
+    valid: jax.Array  # (Ns,) bool
+    lost: jax.Array  # () int32 active particles dropped
+
+
+def slot_cells(box: ActiveBox) -> np.ndarray:
+    """(Ns, d) integer cell multi-index (grid frame) of every slot — static."""
+    idx = np.indices(box.cdims).reshape(len(box.cdims), -1).T  # (Nc, d)
+    idx = idx + np.asarray(box.offset)
+    return np.repeat(idx, box.capacity, axis=0).astype(np.int32)
+
+
+def bin_particles(grid: Grid, box: ActiveBox, x: jax.Array, active: jax.Array) -> Binning:
+    """Sort-based cell binning (replaces ring-walk local search +
+    ChainPtr tributary rebuilds, LME.c:895-1015)."""
+    n = x.shape[0]
+    cell = grid.cell_of(x) - jnp.asarray(box.offset, config.index_dtype())
+    cdims = jnp.asarray(box.cdims, config.index_dtype())
+    inside = jnp.all((cell >= 0) & (cell < cdims), axis=-1) & active
+    # flat cell id within the box; sentinel n_cells for outside/inactive
+    strides = np.concatenate([np.cumprod(box.cdims[::-1])[-2::-1], [1]]).astype(np.int32)
+    cid = jnp.sum(cell * jnp.asarray(strides), axis=-1)
+    cid = jnp.where(inside, cid, box.n_cells).astype(jnp.int32)
+
+    order = jnp.argsort(cid, stable=True)
+    s = cid[order]
+    first = jnp.searchsorted(s, s, side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    keep = (s < box.n_cells) & (rank < box.capacity)
+    slots = jnp.where(keep, s * box.capacity + rank, box.n_slots)
+
+    slot_particle = jnp.full((box.n_slots,), n, jnp.int32)
+    slot_particle = slot_particle.at[slots].set(
+        order.astype(jnp.int32), mode="drop"
+    )
+    valid = slot_particle < n
+    lost = jnp.sum(active.astype(jnp.int32)) - jnp.sum(keep.astype(jnp.int32))
+    return Binning(box=box, slot_particle=slot_particle, valid=valid, lost=lost)
+
+
+def permute_to_slots(p: Particles, binning: Binning) -> Particles:
+    """Re-layout the particle SoA into slot order (static size Ns)."""
+    idx = jnp.minimum(binning.slot_particle, p.count - 1)
+
+    def take(a):
+        return a[idx]
+
+    p_s = jax.tree_util.tree_map(take, p)
+    return p_s.replace(active=p_s.active & binning.valid)
+
+
+def _node_slices(box: ActiveBox, grid_dims, off) -> Optional[tuple]:
+    """Static cell-range/node-range intersection for one window offset.
+    Returns (cell_slices, node_slices) or None if empty."""
+    cs, ns = [], []
+    for ax in range(len(box.cdims)):
+        o = int(box.offset[ax]) + int(off[ax])
+        # node index = cell_in_box + o must lie in [0, grid_dims[ax])
+        c0 = max(0, -o)
+        c1 = min(box.cdims[ax], grid_dims[ax] - o)
+        if c1 <= c0:
+            return None
+        cs.append(slice(c0, c1))
+        ns.append(slice(c0 + o, c1 + o))
+    return tuple(cs), tuple(ns)
+
+
+def p2g(
+    vals: jax.Array,  # (Ns, K) or (Ns, K, c) per-edge contributions (masked)
+    box: ActiveBox,
+    grid: Grid,
+    offsets: np.ndarray,  # (K, d) static window offsets
+    axis_name: str = None,
+) -> jax.Array:
+    """Windowed P2G: returns (n_nodes,) or (n_nodes, c) flat node array."""
+    scalar = vals.ndim == 2
+    if scalar:
+        vals = vals[..., None]
+    c = vals.shape[-1]
+    K = vals.shape[1]
+    per_cell = vals.reshape(box.cdims + (box.capacity, K, c)).sum(axis=len(box.cdims))
+    out = jnp.zeros(tuple(grid.dims) + (c,), vals.dtype)
+    for k in range(K):
+        sl = _node_slices(box, grid.dims, offsets[k])
+        if sl is None:
+            continue
+        cs, ns = sl
+        out = out.at[ns + (slice(None),)].add(per_cell[cs + (k, slice(None))])
+    out = out.reshape(grid.n_nodes, c)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    if scalar:
+        out = out[:, 0]
+    return out
+
+
+def g2p(
+    field: jax.Array,  # (n_nodes,) or (n_nodes, c)
+    weights: jax.Array,  # (Ns, K) masked weights (e.g. shape values)
+    box: ActiveBox,
+    grid: Grid,
+    offsets: np.ndarray,
+) -> jax.Array:
+    """Windowed G2P: out_s = Σ_k w_sk · field[cell_s + off_k]."""
+    scalar = field.ndim == 1
+    f = field.reshape(tuple(grid.dims) + ((1,) if scalar else (field.shape[-1],)))
+    c = f.shape[-1]
+    K = weights.shape[1]
+    w = weights.reshape(box.cdims + (box.capacity, K))
+    acc = jnp.zeros(box.cdims + (box.capacity, c), weights.dtype)
+    nd = len(box.cdims)
+    for k in range(K):
+        sl = _node_slices(box, grid.dims, offsets[k])
+        if sl is None:
+            continue
+        cs, ns = sl
+        fs = f[ns + (slice(None),)]  # (sub-cells…, c)
+        acc = acc.at[cs + (slice(None), slice(None))].add(
+            w[cs + (slice(None), k)][..., None] * fs[(...,) + (None, slice(None))]
+        )
+    out = acc.reshape(box.n_slots, c)
+    return out[:, 0] if scalar else out

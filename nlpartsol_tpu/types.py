@@ -123,6 +123,7 @@ class Particles:
     damage: Array  # (Np,) damage in [0, 1]
     strain_f: Array  # (Np,) eigensoftening failure strain
     # Bookkeeping
+    pid: Array  # (Np,) int32 stable particle identity (survives slot permutes)
     mat_id: Array  # (Np,) int32 material index
     active: Array  # (Np,) bool — padding/erosion mask
     lme_lambda: Array  # (Np, d) LME Lagrange-multiplier warm start
@@ -176,6 +177,7 @@ def make_particles(
         W=zeros_s,
         damage=zeros_s,
         strain_f=zeros_s,
+        pid=jnp.arange(np_, dtype=jnp.int32),
         mat_id=(
             jnp.zeros((np_,), jnp.int32) if mat_id is None else jnp.asarray(mat_id, jnp.int32)
         ),

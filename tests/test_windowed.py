@@ -1,0 +1,122 @@
+"""Windowed (scatter-free) transfer engine: must match the scatter backend
+bit-for-tolerance on identical particle sets."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nlpartsol_tpu.formulations.courant import courant_dt
+from nlpartsol_tpu.formulations.explicit import ExplicitConfig, explicit_step, run
+from nlpartsol_tpu.formulations.implicit import ImplicitConfig, implicit_step
+from nlpartsol_tpu.models import materials as M
+from nlpartsol_tpu.ops import sparse, windowed
+from nlpartsol_tpu.shapefun import lme
+from nlpartsol_tpu.types import Grid, make_particles
+
+from tests.test_explicit import bar_setup, C, E_, RHO
+
+
+def _by_pid(p, arr):
+    """Sort a particle array by pid, dropping inactive slots."""
+    pid = np.asarray(p.pid)
+    act = np.asarray(p.active)
+    order = np.argsort(pid[act])
+    return np.asarray(arr)[act][order]
+
+
+def test_binning_roundtrip():
+    grid = Grid(dims=(9, 9), spacing=0.5, origin=(0.0, 0.0))
+    box = windowed.full_box(grid, capacity=4)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0.01, 3.99, (50, 2)).astype(np.float32)
+    p = make_particles(x, mass=np.ones(50), vol0=np.ones(50))
+    b = windowed.bin_particles(grid, box, p.x, p.active)
+    assert int(b.lost) == 0
+    ps = windowed.permute_to_slots(p, b)
+    # every original particle appears exactly once among valid slots
+    pids = np.asarray(ps.pid)[np.asarray(ps.active)]
+    assert sorted(pids.tolist()) == list(range(50))
+    # slot cell matches the particle position's cell
+    cells = windowed.slot_cells(box)
+    got = np.asarray(ps.x)[np.asarray(ps.active)]
+    cell_of = np.floor(got / grid.spacing).astype(int)
+    slot_cell = cells[np.asarray(ps.active)]
+    np.testing.assert_array_equal(cell_of, slot_cell)
+
+
+def test_binning_overflow_counts_lost():
+    grid = Grid(dims=(5, 5), spacing=1.0, origin=(0.0, 0.0))
+    box = windowed.full_box(grid, capacity=2)
+    x = np.full((5, 2), 0.5, np.float32)  # 5 particles in one cell, C=2
+    p = make_particles(x, mass=np.ones(5), vol0=np.ones(5))
+    b = windowed.bin_particles(grid, box, p.x, p.active)
+    assert int(b.lost) == 3
+
+
+@pytest.mark.parametrize("shapefun", ["fem", "lme"])
+def test_windowed_step_matches_scatter(shapefun):
+    grid, p, mats, L, h = bar_setup(shapefun)
+    V = 0.01
+    vx = V * np.sin(np.pi * np.asarray(p.x)[:, 0] / L)
+    p = p.replace(v=jnp.asarray(np.stack([vx, np.zeros_like(vx)], -1)))
+    dt = courant_dt(0.25, h, C)
+    body = jnp.zeros((2,), jnp.float32)
+
+    cfg_s = ExplicitConfig(
+        dt=dt, shapefun=shapefun, lme_params=lme.LMEParams(gamma=3.0), kinds=(M.NEO_HOOKEAN,)
+    )
+    p_s, diag_s = jax.jit(explicit_step, static_argnums=(3,))(p, grid, mats, cfg_s, body)
+
+    box = windowed.full_box(grid, capacity=6)
+    cfg_w = cfg_s.replace(transfer="windowed", active_box=box)
+    p_w, diag_w = jax.jit(explicit_step, static_argnums=(3,))(p, grid, mats, cfg_w, body)
+
+    assert int(diag_w["lost"]) == 0
+    assert int(diag_w["nnz"]) == int(diag_s["nnz"])
+    np.testing.assert_allclose(_by_pid(p_w, p_w.x), _by_pid(p_s, p_s.x), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(_by_pid(p_w, p_w.v), _by_pid(p_s, p_s.v), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        _by_pid(p_w, p_w.stress), _by_pid(p_s, p_s.stress), rtol=1e-3, atol=2.0
+    )
+    np.testing.assert_allclose(
+        float(diag_w["kinetic_energy"]), float(diag_s["kinetic_energy"]), rtol=1e-4
+    )
+
+
+def test_windowed_implicit_matches_scatter():
+    grid, p, mats, L, h = bar_setup("fem")
+    V = 0.01
+    vx = V * np.sin(np.pi * np.asarray(p.x)[:, 0] / L)
+    p = p.replace(v=jnp.asarray(np.stack([vx, np.zeros_like(vx)], -1)))
+    dt = courant_dt(1.0, h, C)
+    body = jnp.zeros((2,), jnp.float32)
+
+    cfg_s = ImplicitConfig(dt=dt, shapefun="fem", kinds=(M.NEO_HOOKEAN,))
+    p_s, diag_s = jax.jit(implicit_step, static_argnums=(3,))(p, grid, mats, cfg_s, body)
+
+    box = windowed.full_box(grid, capacity=6)
+    cfg_w = cfg_s.replace(transfer="windowed", active_box=box)
+    p_w, diag_w = jax.jit(implicit_step, static_argnums=(3,))(p, grid, mats, cfg_w, body)
+
+    assert bool(diag_w["converged"])
+    np.testing.assert_allclose(_by_pid(p_w, p_w.x), _by_pid(p_s, p_s.x), rtol=1e-4, atol=1e-6)
+
+
+def test_windowed_multistep_run():
+    """Full windowed run conserves energy like the scatter path."""
+    grid, p, mats, L, h = bar_setup("fem")
+    V = 0.01
+    omega = np.pi * C / L
+    vx = V * np.sin(np.pi * np.asarray(p.x)[:, 0] / L)
+    p = p.replace(v=jnp.asarray(np.stack([vx, np.zeros_like(vx)], -1)))
+    dt = courant_dt(0.25, h, C)
+    box = windowed.full_box(grid, capacity=6)
+    cfg = ExplicitConfig(
+        dt=dt, shapefun="fem", kinds=(M.NEO_HOOKEAN,), transfer="windowed", active_box=box
+    )
+    n = int(round((np.pi / 2 / omega) / dt))
+    p1, en = jax.jit(run, static_argnums=(3, 4))(p, grid, mats, cfg, n)
+    ke0 = 0.5 * float(jnp.sum(p.mass * jnp.sum(p.v**2, -1)))
+    etot = float(en["kinetic_energy"][-1] + en["strain_energy"][-1])
+    assert abs(etot - ke0) / ke0 < 0.05
