@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 from ..ops import transfer
-from ..shapefun import fem, lme
+from ..shapefun import alme, fem, gimp, lme
 
 
 def shapefun_eval(cfg, grid, p):
@@ -14,6 +14,12 @@ def shapefun_eval(cfg, grid, p):
         return sf, lme.offsets_for(grid.dim, cfg.lme_params)
     if cfg.shapefun == "fem":
         return fem.evaluate(grid, p.x), fem.offsets_for(grid.dim)
+    if cfg.shapefun == "gimp":
+        lp = gimp.voxel_halfwidth(p.vol0, grid.dim)
+        return gimp.evaluate(grid, p.x, lp), gimp.offsets_for(grid.dim)
+    if cfg.shapefun == "alme":
+        sf = alme.evaluate(grid, p.x, p.lme_lambda, p.lme_beta, cfg.alme_params)
+        return sf, alme.offsets_for(grid.dim, cfg.alme_params)
     raise ValueError(f"unknown shapefun {cfg.shapefun}")
 
 

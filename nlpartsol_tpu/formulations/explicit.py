@@ -30,11 +30,12 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..models import dispatch as con
+from ..models import fracture
 from ..models.materials import MaterialTable
 from ..ops import transfer, windowed
 from ..ops import tensor as tn
 from ..ops.sparse import nnz as count_nnz
-from ..shapefun import fem, lme
+from ..shapefun import alme, fem, lme
 from ..types import Grid, Particles
 from . import kinematics as kin
 
@@ -47,11 +48,16 @@ class ExplicitConfig:
     lme_params: lme.LMEParams = struct.field(
         pytree_node=False, default_factory=lme.LMEParams
     )
+    alme_params: "alme.ALMEParams" = struct.field(pytree_node=False, default=None)
     kinds: tuple = struct.field(pytree_node=False, default=(3,))  # NEO_HOOKEAN
     mass_tol: float = struct.field(pytree_node=False, default=1e-12)
     # transfer backend: 'windowed' (needs active_box) or 'scatter'
     transfer: str = struct.field(pytree_node=False, default="scatter")
     active_box: windowed.ActiveBox = struct.field(pytree_node=False, default=None)
+    # nonlocal fracture driver: None | 'eigenerosion' | 'eigensoftening'
+    # (requires windowed transfer — Beps sums run on the slot layout)
+    damage: str = struct.field(pytree_node=False, default=None)
+    beps_reach: int = struct.field(pytree_node=False, default=1)
     # shard_map axis over which particles are sharded (grid replicated);
     # None = single device
     axis_name: str = struct.field(pytree_node=False, default=None)
@@ -131,7 +137,53 @@ def explicit_step(
         mats=mats,
         kinds=cfg.kinds,
     )
-    tau_eff = cs.tau * (1.0 - p.damage)[:, None, None]
+    # --- nonlocal damage (EigenErosion.c / EigenSoftening.c; scales the
+    # stress entering the internal forces with (1 − d_{n+1}), reference
+    # __nodal_internal_forces, U-Newmark-beta.c:1319-1333) ---
+    damage_n1 = p.damage
+    strain_f_n1 = p.strain_f
+    if cfg.damage is not None:
+        if cfg.transfer != "windowed":
+            raise ValueError("fracture drivers require windowed transfer")
+        if cfg.damage == "eigenerosion":
+            dout = fracture.eigenerosion(
+                grid,
+                cfg.active_box,
+                x=p.x,
+                active=act,
+                damage_n=p.damage,
+                W=cs.W,
+                J_n1=J_n1,
+                vol0=p.vol0,
+                stress=cs.tau,
+                stress_zz=cs.tau_zz,
+                Ceps=mats.Ceps[p.mat_id],
+                Gf=mats.Gf[p.mat_id],
+                reach=cfg.beps_reach,
+            )
+        elif cfg.damage == "eigensoftening":
+            dout = fracture.eigensoftening(
+                grid,
+                cfg.active_box,
+                x=p.x,
+                active=act,
+                damage_n=p.damage,
+                strain_f_n=p.strain_f,
+                mass=p.mass,
+                F_n1=F_n1,
+                stress=cs.tau,
+                stress_zz=cs.tau_zz,
+                ft=mats.ft[p.mat_id],
+                heps=mats.heps[p.mat_id],
+                wcrit=mats.wcrit[p.mat_id],
+                Ceps=mats.Ceps[p.mat_id],
+                reach=cfg.beps_reach,
+            )
+        else:
+            raise ValueError(f"unknown damage driver {cfg.damage}")
+        damage_n1 = dout.damage
+        strain_f_n1 = dout.strain_f
+    tau_eff = cs.tau * (1.0 - damage_n1)[:, None, None]
 
     # --- internal forces: f_A = −Σ_p V0 τ ∇N^{n+1}  ---
     dN1 = kin.push_forward_dN(dN, DF)
@@ -177,7 +229,12 @@ def explicit_step(
         kappa=cs.kappa,
         back_stress=cs.back_stress,
         W=cs.W,
+        damage=damage_n1,
+        strain_f=strain_f_n1,
         lme_lambda=sf["lam"] if sf["lam"] is not None else p.lme_lambda,
+        lme_beta=(
+            alme.update_beta(p.lme_beta, DF) if cfg.shapefun == "alme" else p.lme_beta
+        ),
     )
     nnz = count_nnz(mask)
     ke = 0.5 * jnp.sum(p.mass[:, None] * v_new * v_new, where=act[:, None])

@@ -38,7 +38,7 @@ from ..models.materials import MaterialTable, lame_parameters
 from ..ops import solvers, windowed
 from ..ops import tensor as tn
 from ..ops.sparse import nnz as count_nnz
-from ..shapefun import lme
+from ..shapefun import alme, lme
 from ..types import Grid, Particles
 from . import kinematics as kin
 from .common import make_engine, shapefun_eval
@@ -77,6 +77,7 @@ class ImplicitConfig:
     lme_params: lme.LMEParams = struct.field(
         pytree_node=False, default_factory=lme.LMEParams
     )
+    alme_params: "alme.ALMEParams" = struct.field(pytree_node=False, default=None)
     kinds: tuple = struct.field(pytree_node=False, default=(3,))
     mass_tol: float = struct.field(pytree_node=False, default=1e-12)
     # Solver tolerances (reference: TOL_NR 1e-5 Macros.h:40; KSP defaults)
@@ -251,6 +252,9 @@ def implicit_step(
         back_stress=cs.back_stress,
         W=cs.W,
         lme_lambda=sf["lam"] if sf["lam"] is not None else p.lme_lambda,
+        lme_beta=(
+            alme.update_beta(p.lme_beta, DF) if cfg.shapefun == "alme" else p.lme_beta
+        ),
     )
     nnz = count_nnz(mask)
     if cfg.axis_name is not None:

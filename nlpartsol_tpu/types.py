@@ -127,6 +127,7 @@ class Particles:
     mat_id: Array  # (Np,) int32 material index
     active: Array  # (Np,) bool — padding/erosion mask
     lme_lambda: Array  # (Np, d) LME Lagrange-multiplier warm start
+    lme_beta: Array  # (Np, d, d) aLME anisotropic thermalisation tensor
 
     @property
     def count(self) -> int:
@@ -185,4 +186,5 @@ def make_particles(
             jnp.ones((np_,), bool) if active is None else jnp.asarray(active, bool)
         ),
         lme_lambda=jnp.zeros((np_, d), dt),
+        lme_beta=jnp.zeros((np_, d, d), dt),
     )
