@@ -1,0 +1,82 @@
+"""Command-line driver mirroring the reference CLI
+(/root/reference/nl-partsol/driver-nl-partsol.c:109-175, help at :525-571):
+
+  nl-partsol-tpu --FORMULATION-U  -f sim.nlp
+  nl-partsol-tpu --FORMULATION-U  -ff static.nlp dynamic.nlp   (two-stage)
+
+plus TPU-native options (transfer engine, device platform).
+The --OPENMP-CORES flag is accepted for compatibility and ignored (device
+parallelism comes from the jax mesh instead).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="nl-partsol-tpu",
+        description="TPU-native Material Point Method solver (NL-PartSol capabilities)",
+    )
+    form = ap.add_mutually_exclusive_group()
+    form.add_argument("--FORMULATION-U", dest="formulation", action="store_const",
+                      const="u", help="single-phase displacement formulation")
+    form.add_argument("--FORMULATION-Up", dest="formulation", action="store_const",
+                      const="up", help="displacement-pressure formulation")
+    form.add_argument("--FORMULATION-Upw", dest="formulation", action="store_const",
+                      const="upw", help="soil-water mixture formulation")
+    ap.add_argument("-f", dest="sim_file", help="simulation .nlp file")
+    ap.add_argument("-ff", dest="two_stage", nargs=2, metavar=("STATIC", "DYNAMIC"),
+                    help="two-stage static preload then dynamic run")
+    ap.add_argument("--OPENMP-CORES", type=int, default=0,
+                    help="(compat; ignored — use jax device meshes)")
+    ap.add_argument("--Print-Convergence", action="store_true")
+    ap.add_argument("--transfer", choices=["scatter", "windowed"], default="scatter")
+    ap.add_argument("--platform", default=None, help="jax platform override (e.g. cpu)")
+    ap.add_argument("--steps", type=int, default=None, help="override N time steps")
+    ap.add_argument("--no-output", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from .io.builder import build_simulation
+    from .driver import run_simulation
+
+    if not args.sim_file and not args.two_stage:
+        ap.error("provide -f sim.nlp or -ff static.nlp dynamic.nlp")
+
+    formulation = args.formulation or "u"
+    if formulation != "u":
+        print(f"formulation -{formulation}: mixture drivers land with the "
+              "u-p/u-pw milestone; running -u machinery where applicable")
+
+    if args.two_stage:
+        # reference -ff flow (driver-nl-partsol.c:206-292): static gravity
+        # preload, then continue dynamically with the particle state
+        static_setup = build_simulation(args.two_stage[0])
+        p_static, _ = run_simulation(
+            static_setup, transfer=args.transfer,
+            write_outputs=not args.no_output, n_steps=args.steps,
+        )
+        dyn_setup = build_simulation(args.two_stage[1])
+        dyn_setup = dyn_setup.__class__(**{**dyn_setup.__dict__, "particles": p_static})
+        p, hist = run_simulation(
+            dyn_setup, transfer=args.transfer,
+            write_outputs=not args.no_output, n_steps=args.steps,
+        )
+    else:
+        setup = build_simulation(args.sim_file)
+        p, hist = run_simulation(
+            setup, transfer=args.transfer,
+            write_outputs=not args.no_output, n_steps=args.steps,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,148 @@
+"""Simulation driver: runs a SimulationSetup end-to-end with outputs.
+
+The analog of the reference's per-scheme driver functions dispatched from
+main (driver-nl-partsol.c:349-379): owns the time loop, feeds per-step curve
+values (Dirichlet/gravity/tractions) into the jitted step, and writes
+VTK/CSV results every ``out_every`` steps.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import config
+from .formulations.courant import courant_dt
+from .formulations.explicit import ExplicitConfig, explicit_step, to_slot_layout
+from .formulations.implicit import ImplicitConfig, implicit_step
+from .io.builder import SimulationSetup
+from .io import vtk
+from .ops import windowed
+from .shapefun import lme as lme_mod
+
+EXPLICIT_SCHEMES = {"NPC-FS", "FE", "Verlet", "Generalized-alpha"}
+IMPLICIT_SCHEMES = {"Newmark-beta-Finite-Strains", "Newmark-beta"}
+STATIC_SCHEMES = {"Static"}
+
+
+def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_box=None, dt=None):
+    sp = setup.solver
+    if dt is None:
+        if sp.cel <= 0:
+            raise ValueError("solver Cel (celerity) required to compute dt")
+        dt = courant_dt(sp.cfl, setup.grid.spacing, sp.cel)
+    shp_kw = {}
+    if setup.shapefun == "lme":
+        shp_kw["lme_params"] = lme_mod.LMEParams(**setup.shapefun_params)
+    common = dict(
+        dt=dt,
+        shapefun=setup.shapefun,
+        kinds=setup.kinds,
+        transfer=transfer,
+        active_box=active_box,
+        **shp_kw,
+    )
+    if sp.scheme in EXPLICIT_SCHEMES:
+        return ExplicitConfig(gamma=0.5, **common)
+    if sp.scheme in IMPLICIT_SCHEMES:
+        return ImplicitConfig(
+            beta=sp.beta,
+            gamma=sp.gamma,
+            newton_tol=sp.tol,
+            newton_maxiter=sp.max_iter,
+            **common,
+        )
+    if sp.scheme in STATIC_SCHEMES:
+        return ImplicitConfig(
+            quasi_static=True,
+            newton_tol=sp.tol,
+            newton_maxiter=sp.max_iter,
+            **common,
+        )
+    raise ValueError(f"unknown scheme: {sp.scheme}")
+
+
+def run_simulation(
+    setup: SimulationSetup,
+    transfer: str = "scatter",
+    active_box=None,
+    write_outputs: bool = True,
+    n_steps: Optional[int] = None,
+    progress: bool = True,
+):
+    """Run the configured simulation; returns (particles, history dict)."""
+    cfg = make_step_config(setup, transfer=transfer, active_box=active_box)
+    is_implicit = isinstance(cfg, ImplicitConfig)
+    step_fn = implicit_step if is_implicit else explicit_step
+    step = jax.jit(step_fn, static_argnums=(3,))
+
+    grid = setup.grid
+    p = setup.particles
+    if transfer == "windowed":
+        p = to_slot_layout(p, grid, active_box)
+    mats = setup.materials
+    n = setup.solver.n_steps if n_steps is None else n_steps
+    d = p.dim
+    n_nodes = grid.n_nodes
+    dt = cfg.dt
+
+    # precompute per-step nodal Dirichlet values and traction tables (host)
+    have_dirichlet = len(setup.dirichlet_nodes) > 0
+    have_traction = len(setup.neumann) > 0
+    area0 = None
+    if have_traction:
+        # reference: A0 = V0 / thickness in 2D (U-Newmark-beta.c:1440-1444)
+        area0_np = np.zeros(setup.particles.count, np.float64)
+        base_vol = np.asarray(setup.particles.vol0)
+        for ids, comp, curve in setup.neumann:
+            area0_np[ids] = base_vol[ids] if d == 3 else base_vol[ids] / 1.0
+        area0 = jnp.asarray(area0_np, config.dtype())
+
+    history = {"t": [], "kinetic_energy": [], "strain_energy": [], "newton_iters": []}
+    os.makedirs(setup.out_dir, exist_ok=True)
+
+    t0 = time.time()
+    for i in range(setup.solver.i0, setup.solver.i0 + n):
+        g = grid
+        if have_dirichlet:
+            dval = np.zeros((n_nodes, d))
+            for ids, comp, curve in setup.dirichlet_nodes:
+                dval[ids, comp] = curve[min(i, len(curve) - 1)]
+            g = grid.replace(dirichlet_value=jnp.asarray(dval, config.dtype()))
+        body = jnp.zeros((d,), config.dtype())
+        if setup.gravity is not None:
+            body = jnp.asarray(setup.gravity[min(i, len(setup.gravity) - 1)], config.dtype())
+        traction = None
+        t_area = None
+        if have_traction:
+            tr = np.zeros((setup.particles.count, d))
+            for ids, comp, curve in setup.neumann:
+                tr[ids, comp] = curve[min(i, len(curve) - 1)]
+            traction = jnp.asarray(tr, config.dtype())
+            t_area = area0
+        p, diag = step(p, g, mats, cfg, body, traction, t_area)
+
+        history["t"].append((i + 1) * dt)
+        if is_implicit:
+            history["newton_iters"].append(int(diag["newton_iters"]))
+        else:
+            history["kinetic_energy"].append(float(diag["kinetic_energy"]))
+            history["strain_energy"].append(float(diag["strain_energy"]))
+
+        if write_outputs and (i % setup.out_every == 0):
+            vtk.write_particles_vtk(
+                os.path.join(setup.out_dir, f"particles_{i:06d}.vtk"), p
+            )
+        if progress and (i % max(1, n // 10) == 0):
+            print(f"  step {i}/{setup.solver.i0 + n} t={(i + 1) * dt:.4e}", flush=True)
+
+    if progress:
+        print(f"done: {n} steps in {time.time() - t0:.1f}s")
+    return p, history

@@ -1,0 +1,296 @@
+"""Builds runnable simulations from parsed .nlp blocks.
+
+The TPU analog of the reference's setup flow (driver-nl-partsol.c:298-344:
+Solver_selector → gravity → GramsBox → Generate_One_Phase_Analysis →
+GramsOutputs → initialise_shapefun): reads the background mesh (structured
+Cartesian detection), seeds particles from the particle-source GiD mesh with
+GPxElement, assembles the material table, Dirichlet masks/curves, Neumann
+loads, gravity curves, and solver config.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import config
+from ..models import materials as M
+from ..types import Grid, Particles, make_particles
+from ..utils import curves
+from . import gid_mesh
+from .nlp_parser import (
+    Block,
+    find,
+    find_all,
+    parse_nlp,
+    read_curve_file,
+    read_node_list,
+)
+
+# reference material Model= names (Read_GramsMaterials2.c dispatch) → kinds
+_MODEL_NAMES = dict(M.KIND_NAMES)
+_MODEL_NAMES.update(
+    {
+        "Neo-Hookean": M.NEO_HOOKEAN,
+        "Drucker-Prager-Plane-Strain": M.DRUCKER_PRAGER,
+        "Drucker-Prager-Outer-Cone": M.DRUCKER_PRAGER,
+    }
+)
+
+# reference property spellings → MaterialTable fields
+_MAT_KEYS = {
+    "rho": "rho0",
+    "E": "E",
+    "nu": "nu",
+    "Ceps": "Ceps",
+    "Gf": "Gf",
+    "ft": "ft",
+    "heps": "heps",
+    "wcrit": "wcrit",
+    "Yield-stress": "kappa0",
+    "kappa-0": "kappa0",
+    "Hardening-Modulus": "hardening_modulus",
+    "Hardening-modulus": "hardening_modulus",
+    "theta": "theta_voce",
+    "K-0": "K0_voce",
+    "K-inf": "Kinf_voce",
+    "delta": "delta_voce",
+    "m": "exponent_ortiz",
+    "Hardening-exponent": "exponent_ortiz",
+    "Reference-plastic-strain": "plastic_strain_0",
+    "Reference-pressure": "reference_pressure",
+    "Cohesion": "cohesion",
+    "Friction-angle": "friction_angle",
+    "Dilatancy-angle": "dilatancy_angle",
+    "J2-degradated": "J2_degradated",
+    "Viscosity": "viscosity",
+    "n-Macdonald": "n_macdonald",
+    "Compressibility": "compressibility",
+    "Fbar": "alpha_fbar",
+    "alpha-Fbar": "alpha_fbar",
+}
+
+
+@dataclass
+class SolverParams:
+    scheme: str = "NPC-FS"
+    cfl: float = 0.8
+    cel: float = 0.0
+    n_steps: int = 0
+    i0: int = 0
+    epsilon: float = 1.0
+    beta: float = 0.25
+    gamma: float = 0.5
+    tol: float = 1e-5
+    max_iter: int = 20
+
+
+@dataclass
+class SimulationSetup:
+    solver: SolverParams
+    grid: Grid
+    particles: Particles
+    materials: M.MaterialTable
+    kinds: tuple
+    shapefun: str = "lme"
+    shapefun_params: dict = field(default_factory=dict)
+    gravity: Optional[np.ndarray] = None  # (n_steps, d) body acceleration
+    # Dirichlet curves: (n_steps, n_nodes, d)? too big — store per-boundary
+    dirichlet_nodes: list = field(default_factory=list)  # [(ids, dim, curve)]
+    neumann: list = field(default_factory=list)  # [(particle_ids, dim, curve)]
+    out_dir: str = "output"
+    out_every: int = 100
+
+
+def _solver_params(blocks) -> SolverParams:
+    b = find(blocks, "NLPS-Solver", "GramsTime")
+    sp = SolverParams()
+    if b is None:
+        return sp
+    sp.scheme = str(b.attrs.get("Type", sp.scheme))
+    p = b.props
+    sp.cfl = float(p.get("CFL", sp.cfl))
+    sp.cel = float(p.get("Cel", sp.cel))
+    sp.n_steps = int(p.get("N", sp.n_steps))
+    sp.i0 = int(p.get("i0", sp.i0))
+    sp.epsilon = float(p.get("Epsilon", sp.epsilon))
+    sp.beta = float(p.get("Beta-Newmark-beta", sp.beta))
+    sp.gamma = float(p.get("Gamma-Newmark-beta", sp.gamma))
+    sp.tol = float(p.get("TOL-Newmark-beta", sp.tol))
+    sp.max_iter = int(p.get("Max-Iter", sp.max_iter))
+    return sp
+
+
+def _materials(blocks) -> M.MaterialTable:
+    rows = {}
+    for b in find_all(blocks, "Define-Material", "GramsMaterials"):
+        idx = int(b.attrs.get("idx", b.attrs.get("Id", len(rows))))
+        model = str(b.attrs.get("Model", b.attrs.get("Type", "Neo-Hookean-Wriggers")))
+        if model not in _MODEL_NAMES:
+            raise ValueError(f"unknown material model: {model}")
+        kw = {"kind": _MODEL_NAMES[model]}
+        for key, val in b.props.items():
+            if key in _MAT_KEYS and val != "":
+                kw[_MAT_KEYS[key]] = float(val)
+        rows[idx] = M.material(**kw)
+    if not rows:
+        raise ValueError("no materials defined (Define-Material)")
+    return M.material_table([rows[i] for i in sorted(rows)])
+
+
+def _shapefun(blocks):
+    b = find(blocks, "GramsShapeFun")
+    if b is None:
+        return "lme", {}
+    kind = str(b.attrs.get("Type", "LME")).lower()
+    kind = {"fem": "fem", "ugimp": "gimp", "lme": "lme", "alme": "alme"}.get(kind, kind)
+    params = {}
+    p = b.props
+    if "gamma" in p:
+        params["gamma"] = float(p["gamma"])
+    if "TOL-Zero" in p:
+        params["tol_zero"] = float(p["TOL-Zero"])
+    if "MaxIter" in p:
+        params["max_iter"] = int(p["MaxIter"])
+    if "TOL-Wrapper" in p:
+        params["tol_lambda"] = float(p["TOL-Wrapper"])
+    return kind, params
+
+
+def build_simulation(path: str) -> SimulationSetup:
+    base = os.path.dirname(os.path.abspath(path))
+    blocks = parse_nlp(path)
+    sp = _solver_params(blocks)
+
+    # --- background grid (GramsBox) ---
+    box = find(blocks, "GramsBox")
+    if box is None:
+        raise ValueError("GramsBox block required")
+    mesh_file = os.path.join(base, str(box.attrs["File"]))
+    bg = gid_mesh.read_gid_mesh(mesh_file)
+    dims, h, origin = gid_mesh.structured_grid_from_mesh(bg)
+    d = len(dims)
+    n_nodes = int(np.prod(dims))
+
+    # GiD node ids → structured flat index mapping
+    rel = np.round((bg.coords - np.asarray(origin)) / h).astype(np.int64)
+    strides = np.concatenate([np.cumprod(np.asarray(dims[::-1]))[-2::-1], [1]])
+    gid2flat = (rel * strides).sum(axis=1)
+
+    # --- Dirichlet boundaries ---
+    dmask = np.zeros((n_nodes, d), bool)
+    dirichlet_nodes = []
+    for bnd in box.all("GramsBoundary"):
+        ids = read_node_list(os.path.join(base, str(bnd.attrs["File"])))
+        flat = gid2flat[ids]
+        for st in bnd.statements:
+            if st[0] != "BcDirichlet":
+                continue
+            comp = {"V.x": 0, "U.x": 0, "V.y": 1, "U.y": 1, "V.z": 2, "U.z": 2}[st[1]]
+            if st[2] == "NULL":
+                continue
+            dmask[flat, comp] = True
+            curve = read_curve_file(os.path.join(base, st[2]), max(sp.n_steps, 1))
+            dirichlet_nodes.append((flat, comp, curve))
+
+    grid = Grid(
+        dims=tuple(dims),
+        spacing=h,
+        origin=tuple(origin),
+        dirichlet_mask=jnp.asarray(dmask),
+        dirichlet_value=jnp.zeros((n_nodes, d), config.dtype()),
+    )
+
+    # --- materials ---
+    mats = _materials(blocks)
+    kinds = mats.kinds_present()
+
+    # --- particles (One-Phase-Analysis) ---
+    ana = find(blocks, "One-Phase-Analysis", "GramsSolid", "GramsSolid2D")
+    if ana is None:
+        raise ValueError("One-Phase-Analysis / GramsSolid block required")
+    pmesh = gid_mesh.read_gid_mesh(os.path.join(base, str(ana.attrs["File"])))
+    gpx = int(ana.attrs.get("GPxElement", 1))
+    pos, vol = gid_mesh.seed_particles(pmesh, gpx)
+    mat_id = np.zeros(len(pos), np.int32)  # single-material bodies (ref behavior)
+    rho0 = np.asarray(mats.rho0)[mat_id]
+    particles = make_particles(
+        pos, mass=rho0 * vol, vol0=vol, mat_id=mat_id
+    )
+    # kappa initialised to the material's reference hardening
+    particles = particles.replace(kappa=jnp.asarray(np.asarray(mats.kappa0)[mat_id]))
+
+    # --- initial conditions ---
+    for ic in find_all(blocks, "GramsInitials"):
+        ids = (
+            read_node_list(os.path.join(base, str(ic.attrs["File"])))
+            if "File" in ic.attrs
+            else np.arange(len(pos))
+        )
+        v0 = np.asarray(particles.v)
+        for key, val in ic.props.items():
+            comp = {"V.x": 0, "V.y": 1, "V.z": 2}.get(key)
+            if comp is not None:
+                v0[ids, comp] = float(val)
+        particles = particles.replace(v=jnp.asarray(v0))
+
+    # --- gravity ---
+    n_curve = max(sp.n_steps, 1)
+    gravity = None
+    gb = find(blocks, "generate-gravity-field-constant", "GramsBodyForces")
+    if gb is not None:
+        gravity = np.zeros((n_curve, d))
+        for key, val in gb.props.items():
+            comp = {"g.x": 0, "g.y": 1, "g.z": 2, "b.x": 0, "b.y": 1, "b.z": 2}.get(key)
+            if comp is not None and comp < d:
+                gravity[:, comp] = float(val)
+        for st in gb.statements:
+            comp = {"g.x": 0, "g.y": 1, "g.z": 2}.get(st[0])
+            if comp is not None and comp < d and len(st) > 1:
+                gravity[:, comp] = read_curve_file(os.path.join(base, st[1]), n_curve)
+
+    # --- Neumann loads ---
+    neumann = []
+    for nb in find_all(blocks, "Define-Neumann-Boundary", "GramsNeumannBC"):
+        ids = read_node_list(os.path.join(base, str(nb.attrs["File"])))
+        for st in nb.statements:
+            if st[0] not in ("BcNeumann", "T.x", "T.y", "T.z"):
+                continue
+            if st[0] == "BcNeumann":
+                comp = {"T.x": 0, "T.y": 1, "T.z": 2}[st[1]]
+                cf = st[2]
+            else:
+                comp = {"T.x": 0, "T.y": 1, "T.z": 2}[st[0]]
+                cf = st[1]
+            if cf == "NULL":
+                continue
+            curve = read_curve_file(os.path.join(base, cf), n_curve)
+            neumann.append((ids, comp, curve))
+
+    # --- outputs ---
+    out = find(blocks, "GramsOutputs")
+    out_dir, out_every = "output", 100
+    if out is not None:
+        out_every = int(out.attrs.get("i", out_every))
+        out_dir = str(out.props.get("DIR", out.attrs.get("DIR", out_dir)))
+
+    shp, shp_params = _shapefun(blocks)
+
+    return SimulationSetup(
+        solver=sp,
+        grid=grid,
+        particles=particles,
+        materials=mats,
+        kinds=kinds,
+        shapefun=shp,
+        shapefun_params=shp_params,
+        gravity=gravity,
+        dirichlet_nodes=dirichlet_nodes,
+        neumann=neumann,
+        out_dir=out_dir,
+        out_every=out_every,
+    )

@@ -1,0 +1,223 @@
+"""I/O layer tests: curves, GiD mesh reader, .nlp parser, builder, VTK,
+and the CLI end-to-end on a synthetic bar-vibration case."""
+
+import os
+import textwrap
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nlpartsol_tpu.utils import curves
+from nlpartsol_tpu.io import gid_mesh, vtk
+from nlpartsol_tpu.io.nlp_parser import parse_nlp_text
+from nlpartsol_tpu.io.builder import build_simulation
+from nlpartsol_tpu.types import make_particles
+
+
+def test_curves():
+    n = 10
+    np.testing.assert_allclose(curves.constant(n, 2.0), 2.0)
+    np.testing.assert_allclose(curves.ramp(n, 1.0)[5], 0.5)
+    h = curves.heaviside(n, 3.0, 4)
+    assert h[4] == 0.0 and h[5] == 3.0
+    d = curves.delta(n, 5.0, 3)
+    assert d[3] == 5.0 and d.sum() == 5.0
+    f = curves.parse_curve_lines(["CONSTANT_CURVE SCALE#1.5", "HEAVISIDE_CURVE SCALE#1 Tc#5"], n)
+    assert f[0] == 1.5 and f[9] == 2.5
+
+
+def write_gid_quad_mesh(path, nx, ny, h):
+    """Uniform Q4 grid in GiD ASCII format."""
+    with open(path, "w") as fh:
+        fh.write(f"MESH dimension 2 ElemType Quadrilateral Nnode 4\n")
+        fh.write("Coordinates\n")
+        nid = 1
+        for i in range(nx + 1):
+            for j in range(ny + 1):
+                fh.write(f"{nid} {i * h} {j * h}\n")
+                nid += 1
+        fh.write("End Coordinates\n")
+        fh.write("Elements\n")
+        eid = 1
+        for i in range(nx):
+            for j in range(ny):
+                n0 = i * (ny + 1) + j + 1
+                n1 = (i + 1) * (ny + 1) + j + 1
+                fh.write(f"{eid} {n0} {n1} {n1 + 1} {n0 + 1}\n")
+                eid += 1
+        fh.write("End Elements\n")
+
+
+def test_gid_reader_and_structured_detection(tmp_path):
+    path = tmp_path / "mesh.msh"
+    write_gid_quad_mesh(path, 4, 2, 0.5)
+    m = gid_mesh.read_gid_mesh(str(path))
+    assert m.dimension == 2 and m.elem_type == "Q4"
+    assert m.n_nodes == 15 and m.n_elems == 8
+    np.testing.assert_allclose(gid_mesh.element_volumes(m), 0.25)
+    dims, h, origin = gid_mesh.structured_grid_from_mesh(m)
+    assert dims == (5, 3) and h == pytest.approx(0.5) and origin == (0.0, 0.0)
+    pos, vol = gid_mesh.seed_particles(m, 4)
+    assert pos.shape == (32, 2)
+    np.testing.assert_allclose(vol.sum(), 2.0 * 1.0)  # total domain area
+
+
+def test_nlp_parser_blocks():
+    text = textwrap.dedent("""
+    ! comment
+    NLPS-Solver (Type=NPC-FS) {
+        CFL=0.5
+        Cel=100.0
+        N=40
+    }
+    GramsBox (Type=GID, File=bg.msh) {
+        GramsBoundary (File=left.txt) {
+            BcDirichlet V.x curve.txt
+            BcDirichlet V.y NULL
+        }
+    }
+    Define-Material (idx=0, Model=Neo-Hookean-Wriggers) {
+        E=1e7
+        nu=0.0
+        rho=1000
+    }
+    """)
+    blocks = parse_nlp_text(text)
+    kws = [b.keyword for b in blocks]
+    assert "NLPS-Solver" in kws and "GramsBox" in kws and "Define-Material" in kws
+    solver = blocks[kws.index("NLPS-Solver")]
+    assert solver.attrs["Type"] == "NPC-FS" and solver.props["N"] == 40
+    box = blocks[kws.index("GramsBox")]
+    bnd = box.child("GramsBoundary")
+    assert bnd.attrs["File"] == "left.txt"
+    assert ["BcDirichlet", "V.x", "curve.txt"] in bnd.statements
+
+
+@pytest.fixture
+def bar_case(tmp_path):
+    """Full synthetic .nlp bar case on disk."""
+    write_gid_quad_mesh(tmp_path / "bg.msh", 20, 2, 0.05)
+    write_gid_quad_mesh(tmp_path / "body.msh", 20, 2, 0.05)
+    # Dirichlet node lists: x-fixed end columns (1-indexed GiD node ids)
+    ny1 = 3
+    left = [j + 1 for j in range(ny1)]
+    right = [20 * ny1 + j + 1 for j in range(ny1)]
+    allnodes = list(range(1, 21 * ny1 + 1))
+    (tmp_path / "left.txt").write_text("\n".join(map(str, left)))
+    (tmp_path / "right.txt").write_text("\n".join(map(str, right)))
+    (tmp_path / "all.txt").write_text("\n".join(map(str, allnodes)))
+    (tmp_path / "zero.txt").write_text("CONSTANT_CURVE SCALE#0.0\n")
+    (tmp_path / "sim.nlp").write_text(textwrap.dedent("""
+    NLPS-Solver (Type=NPC-FS) {
+        CFL=0.25
+        Cel=100.0
+        N=20
+    }
+    GramsBox (Type=GID, File=bg.msh) {
+        GramsBoundary (File=left.txt) {
+            BcDirichlet V.x zero.txt
+            BcDirichlet V.y zero.txt
+        }
+        GramsBoundary (File=right.txt) {
+            BcDirichlet V.x zero.txt
+            BcDirichlet V.y zero.txt
+        }
+        GramsBoundary (File=all.txt) {
+            BcDirichlet V.x NULL
+            BcDirichlet V.y zero.txt
+        }
+    }
+    GramsShapeFun (Type=FEM) {
+    }
+    Define-Material (idx=0, Model=Neo-Hookean-Wriggers) {
+        E=1e7
+        nu=0.0
+        rho=1000
+    }
+    One-Phase-Analysis (File=body.msh, GPxElement=4) {
+    }
+    GramsOutputs (i=10) {
+        DIR=out
+    }
+    """))
+    return tmp_path
+
+
+def test_builder_and_driver(bar_case, tmp_path, monkeypatch):
+    setup = build_simulation(str(bar_case / "sim.nlp"))
+    assert setup.grid.dims == (21, 3)
+    assert setup.particles.count == 20 * 2 * 4
+    assert setup.solver.n_steps == 20
+    assert setup.shapefun == "fem"
+    # Dirichlet: ends fixed in x, everything fixed in y
+    dm = np.asarray(setup.grid.dirichlet_mask).reshape(21, 3, 2)
+    assert dm[0, :, 0].all() and dm[-1, :, 0].all() and dm[:, :, 1].all()
+    assert not dm[5, 1, 0]
+
+    monkeypatch.chdir(tmp_path)
+    from nlpartsol_tpu.driver import run_simulation
+
+    # give it an initial velocity mode and run the full loop
+    x = np.asarray(setup.particles.x)
+    v = 0.01 * np.stack([np.sin(np.pi * x[:, 0] / 1.0), np.zeros(len(x))], -1)
+    setup.particles = setup.particles.replace(v=jnp.asarray(v, jnp.float32))
+    p, hist = run_simulation(setup, write_outputs=True, progress=False)
+    assert np.all(np.isfinite(np.asarray(p.x)))
+    assert len(hist["kinetic_energy"]) == 20
+    # energy stays near the initial value
+    ke0 = hist["kinetic_energy"][0] + hist["strain_energy"][0]
+    keN = hist["kinetic_energy"][-1] + hist["strain_energy"][-1]
+    assert abs(keN - ke0) / ke0 < 0.1
+    assert os.path.exists(setup.out_dir)
+    vtks = [f for f in os.listdir(setup.out_dir) if f.endswith(".vtk")]
+    assert len(vtks) == 2  # steps 0 and 10
+
+
+def test_vtk_writer_roundtrip(tmp_path):
+    p = make_particles(
+        np.random.default_rng(0).uniform(0, 1, (7, 2)).astype(np.float32),
+        mass=np.ones(7),
+        vol0=np.ones(7),
+    )
+    path = vtk.write_particles_vtk(str(tmp_path / "p.vtk"), p)
+    txt = open(path).read()
+    assert "POINTS 7 float" in txt and "SCALARS damage" in txt and "TENSORS stress" in txt
+
+
+def test_cli_runs(bar_case, monkeypatch, capsys):
+    monkeypatch.chdir(bar_case)
+    from nlpartsol_tpu.cli import main
+
+    rc = main(["--FORMULATION-U", "-f", str(bar_case / "sim.nlp"), "--steps", "3", "--no-output"])
+    assert rc == 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from nlpartsol_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    rng = np.random.default_rng(1)
+    p = make_particles(
+        rng.uniform(0, 1, (9, 2)).astype(np.float32), mass=np.ones(9), vol0=np.ones(9)
+    )
+    p = p.replace(eps=jnp.asarray(rng.uniform(size=9), jnp.float32))
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, p, step=42, extra={"rng": np.arange(3)})
+    p2, step, extra = load_checkpoint(path)
+    assert step == 42
+    np.testing.assert_array_equal(np.asarray(p2.x), np.asarray(p.x))
+    np.testing.assert_array_equal(np.asarray(p2.eps), np.asarray(p.eps))
+    np.testing.assert_array_equal(extra["rng"], np.arange(3))
+
+
+def test_path_recorder(tmp_path):
+    from nlpartsol_tpu.io.csv_out import PathRecorder
+
+    p = make_particles(np.zeros((4, 2), np.float32), mass=np.ones(4), vol0=np.ones(4))
+    rec = PathRecorder([0, 2], fields=("x",))
+    rec.record(0.0, p)
+    rec.record(0.1, p.replace(x=p.x + 1.0))
+    out = rec.write(str(tmp_path / "path.csv"))
+    lines = open(out).read().strip().splitlines()
+    assert lines[0].startswith("t,p0.x.x")
+    assert len(lines) == 3
