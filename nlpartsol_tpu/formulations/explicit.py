@@ -58,6 +58,8 @@ class ExplicitConfig:
     # (requires windowed transfer — Beps sums run on the slot layout)
     damage: str = struct.field(pytree_node=False, default=None)
     beps_reach: int = struct.field(pytree_node=False, default=1)
+    # F-bar volumetric-locking control (windowed only: the cell is the patch)
+    fbar: bool = struct.field(pytree_node=False, default=False)
     # shard_map axis over which particles are sharded (grid replicated);
     # None = single device
     axis_name: str = struct.field(pytree_node=False, default=None)
@@ -120,6 +122,20 @@ def explicit_step(
     J_n1 = tn.det(F_n1)
     J_n1 = jnp.where(J_n1 > 0.0, J_n1, 0.0)  # negative-J clamp (U-Newmark-beta.c:1137)
     d = p.dim
+    if cfg.fbar:
+        # F-bar patches: on the slot layout the natural patch is the cell
+        # (the reference uses quadratic-mesh element patches,
+        # __local_compatibility_conditions, U-Newmark-beta.c:1146-1195)
+        if cfg.transfer != "windowed":
+            raise ValueError("fbar requires windowed transfer")
+        J_patch = kin.cell_patch_jacobian(
+            cfg.active_box, p.J, J_n1, p.vol0, act
+        )
+        alpha_fb = mats.alpha_fbar[p.mat_id]
+        F_n1 = kin.fbar_deformation_gradient(F_n1, J_n1, J_patch * p.J, alpha_fb)
+        J_n1 = tn.det(F_n1)
+        J_n1 = jnp.where(J_n1 > 0.0, J_n1, 0.0)
+        DF = F_n1 @ tn.inv(jnp.where((p.J > 0)[:, None, None], p.F, jnp.eye(d, dtype=F_n1.dtype)))
     dt_DF = (DF - jnp.eye(d, dtype=DF.dtype)) / dt
     dFdt_n1 = kin.rate_deformation_gradient_n1(dt_DF, p.F, DF, p.dFdt)
 

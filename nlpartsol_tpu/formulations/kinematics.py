@@ -42,6 +42,18 @@ def push_forward_dN(dN, DF):
     return jnp.einsum("pij,pkj->pki", DF_invT, dN)
 
 
+def cell_patch_jacobian(box, J_n, J_n1, vol0, active):
+    """Patch ΔJ = Σ_cell(J_{n+1}·V0)/Σ_cell(J_n·V0) broadcast back to slots
+    (reference patch volumes, U-Newmark-beta.c:1146-1195; here the windowed
+    slot layout makes the cell the natural patch)."""
+    nc = box.n_cells
+    vn = (jnp.where(active, J_n * vol0, 0.0)).reshape(nc, box.capacity).sum(-1)
+    vn1 = (jnp.where(active, J_n1 * vol0, 0.0)).reshape(nc, box.capacity).sum(-1)
+    ratio = vn1 / jnp.maximum(vn, 1e-30)
+    ratio = jnp.where(vn > 0, ratio, 1.0)
+    return jnp.repeat(ratio, box.capacity, total_repeat_length=nc * box.capacity)
+
+
 def fbar_deformation_gradient(F_n1, J_n1, DJ_patch, alpha_fbar):
     """Locking-free F-bar blend
     (get_locking_free_Deformation_Gradient_n1__Particles__,

@@ -1,0 +1,301 @@
+"""Soil-water mixture formulation (-upw): explicit two-phase driver.
+
+Re-designs /root/reference/nl-partsol/src/Formulations/
+Displacements-WaterPressure/U-pw-Verlet.c as one jitted step:
+
+  Δt (Coussy mixture celerity)                 (Courant.c:60)
+  lumped mixture mass  m_A = Σ m_p N           (:160-252)
+  lumped fluid compressibility C_A = Σ (J·φ_f·ρ_f/K_f)·V0·N   (:253-370)
+  predictor: Δu_p, v_p, and p_w += (1−γ)Δt·ṗ_w (:371-407)
+  P2G of Δu, v, p_w (÷ lumped matrices)        (:408-700)
+  Dirichlet on v and p_w                       (:710-780)
+  local state: ΔF → F → J, Cauchy p_w = θ/J, fluid density
+    ρ_f = ρ_f0·exp((p_w − p_w0)/K_f), volume fractions φ_s = φ_s0/J,
+    φ_f = 1 − (1−φ_f0)/J, mixture density; effective stress from the soil
+    constitutive law                            (:782-960)
+  mixture equilibrium: total Kirchhoff stress τ_tot = τ' − θ·I (Terzaghi;
+    the reference phrases it as P = P' − θF^{-T}, :1108-1130 — identical in
+    updated-Lagrangian form), a_A = b + f_A/m_A (:1240-1330)
+  mass balance: C·ṗ_w = −Σ N ρ_f (dJ/dt) V0    (jacobian rate, :1386-1467)
+      + (1/g) Σ ∇N·(F⁻¹k)·∇p_w V0              (Darcy, :1469-1607)
+      + (Jρ_f/g) Σ ∇N·(F⁻¹k)·(a−b) V0          (fluid inertia, :1646-1788)
+    ṗ_w solved on the lumped diagonal, G2P     (:1790-1880)
+  corrector: v += γΔt·a, x += Δu, p_w += γΔt·ṗ_w  (:1882-1960)
+
+The permeability is the isotropic Darcy conductivity k [m/s] with the
+reference's hard-coded g = −9.81 convention (:1504, :1681).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..models import dispatch as con
+from ..models.materials import MaterialTable
+from ..ops import windowed
+from ..ops import tensor as tn
+from ..ops.sparse import nnz as count_nnz
+from ..shapefun import lme
+from ..types import Grid, Particles
+from . import kinematics as kin
+from .common import make_engine, shapefun_eval
+
+
+@struct.dataclass
+class MixtureTable:
+    """Soil-water mixture parameters (reference ``Mixture`` struct,
+    Types.h:462-530; read by NLPS-Read-Material-Mixtures.c).  Arrays indexed
+    by the particle's mixture id (carried in ``Particles.mat_id``)."""
+
+    soil_id: jnp.ndarray  # (Nmix,) index into the MaterialTable (solid)
+    water_id: jnp.ndarray  # (Nmix,) index into the MaterialTable (fluid)
+    phi_s0: jnp.ndarray  # reference solid volume fraction
+    phi_f0: jnp.ndarray  # reference fluid volume fraction
+    permeability: jnp.ndarray  # isotropic Darcy conductivity k
+
+
+def make_mixture_table(rows) -> MixtureTable:
+    cols = {k: [] for k in ("soil_id", "water_id", "phi_s0", "phi_f0", "permeability")}
+    for r in rows:
+        for k in cols:
+            cols[k].append(r[k])
+    return MixtureTable(
+        soil_id=jnp.asarray(cols["soil_id"], jnp.int32),
+        water_id=jnp.asarray(cols["water_id"], jnp.int32),
+        phi_s0=jnp.asarray(cols["phi_s0"], jnp.float32),
+        phi_f0=jnp.asarray(cols["phi_f0"], jnp.float32),
+        permeability=jnp.asarray(cols["permeability"], jnp.float32),
+    )
+
+
+@struct.dataclass
+class UpwConfig:
+    dt: float = struct.field(pytree_node=False)
+    gamma: float = struct.field(pytree_node=False, default=0.5)
+    shapefun: str = struct.field(pytree_node=False, default="lme")
+    lme_params: lme.LMEParams = struct.field(
+        pytree_node=False, default_factory=lme.LMEParams
+    )
+    alme_params: object = struct.field(pytree_node=False, default=None)
+    kinds: tuple = struct.field(pytree_node=False, default=(3,))
+    mass_tol: float = struct.field(pytree_node=False, default=1e-12)
+    transfer: str = struct.field(pytree_node=False, default="scatter")
+    active_box: windowed.ActiveBox = struct.field(pytree_node=False, default=None)
+    axis_name: str = struct.field(pytree_node=False, default=None)
+    gravity_g: float = struct.field(pytree_node=False, default=-9.81)
+
+
+def init_mixture_state(p: Particles, mats: MaterialTable, mix: MixtureTable) -> Particles:
+    """Initialise the two-phase particle fields (the analog of
+    Generate_Soil_Water_Coupling_Analysis__InOutFun__ field setup)."""
+    mid = p.mat_id
+    rho_s0 = mats.rho0[mix.soil_id[mid]]
+    rho_f0 = mats.rho0[mix.water_id[mid]]
+    phi_s = mix.phi_s0[mid]
+    phi_f = mix.phi_f0[mid]
+    rho_mix = rho_s0 * phi_s + rho_f0 * phi_f
+    return p.replace(
+        rho_s=rho_s0,
+        rho_f=rho_f0,
+        phi_s=phi_s,
+        phi_f=phi_f,
+        rho=rho_mix,
+        mass=rho_mix * p.vol0,
+    )
+
+
+def upw_step(
+    p: Particles,
+    grid: Grid,
+    mats: MaterialTable,
+    mix: MixtureTable,
+    cfg: UpwConfig,
+    body_accel: jax.Array,  # (d,)
+    pw_dirichlet_mask: Optional[jax.Array] = None,  # (n_nodes,) bool
+    pw_dirichlet_value: Optional[jax.Array] = None,  # (n_nodes,)
+):
+    """One explicit two-phase step.  Returns (particles, diagnostics).
+
+    ``grid.dirichlet_mask`` constrains the solid velocity dofs;
+    ``pw_dirichlet_*`` constrains nodal pore pressure.
+    """
+    dt, gamma = cfg.dt, cfg.gamma
+    d = p.dim
+    n_nodes = grid.n_nodes
+
+    lost = jnp.zeros((), jnp.int32)
+    if cfg.transfer == "windowed":
+        binning = windowed.bin_particles(grid, cfg.active_box, p.x, p.active)
+        p = windowed.permute_to_slots(p, binning)
+        lost = binning.lost
+
+    act = p.active
+    mid = p.mat_id
+    K_f = mats.compressibility[mix.water_id[mid]]
+    rho_f0 = mats.rho0[mix.water_id[mid]]
+    phi_s0 = mix.phi_s0[mid]
+    phi_f0 = mix.phi_f0[mid]
+    k_perm = mix.permeability[mid]
+    g = cfg.gravity_g
+
+    sf, offsets = shapefun_eval(cfg, grid, p)
+    N, dN, mask = sf["N"], sf["dN"], sf["mask"] & act[:, None]
+    eng = make_engine(cfg, grid, sf, offsets, mask)
+
+    # --- lumped mixture mass + fluid compressibility ---
+    m_nodes = eng.p2g(N * p.mass[:, None])
+    m_safe = jnp.maximum(m_nodes, cfg.mass_tol)
+    comp_density = (p.J * p.phi_f * p.rho_f / jnp.maximum(K_f, 1e-30)) * p.vol0
+    C_nodes = eng.p2g(N * comp_density[:, None])
+    C_safe = jnp.maximum(C_nodes, cfg.mass_tol)
+
+    # --- predictor (:371-407) ---
+    pw_pred = p.pw + (1.0 - gamma) * dt * p.dpw_dt
+    d_dis_p = dt * p.v + 0.5 * dt * dt * p.a
+    v_pred = p.v + (1.0 - gamma) * dt * p.a
+
+    # --- P2G: Δu, v, p_w ---
+    mN = N * p.mass[:, None]
+    d_dis_nodes = eng.p2g(mN[..., None] * d_dis_p[:, None, :]) / m_safe[:, None]
+    v_nodes = eng.p2g(mN[..., None] * v_pred[:, None, :]) / m_safe[:, None]
+    pw_nodes = eng.p2g(N * comp_density[:, None] * pw_pred[:, None]) / C_safe
+
+    # --- Dirichlet (:710-780) ---
+    if grid.dirichlet_mask is not None:
+        v_nodes = jnp.where(grid.dirichlet_mask, grid.dirichlet_value, v_nodes)
+        d_dis_nodes = jnp.where(grid.dirichlet_mask, grid.dirichlet_value * dt, d_dis_nodes)
+    if pw_dirichlet_mask is not None:
+        pw_nodes = jnp.where(pw_dirichlet_mask, pw_dirichlet_value, pw_nodes)
+
+    # --- local state (:782-960) ---
+    du_edges = eng.edge_gather(d_dis_nodes)
+    DF = kin.incremental_deformation_gradient(du_edges, dN)
+    F_n1 = DF @ p.F
+    J_n1 = tn.det(F_n1)
+    J_n1 = jnp.maximum(J_n1, 1e-8)
+    v_edges = eng.edge_gather(v_nodes)
+    grad_v = kin.disp_gradient(v_edges, dN)  # Σ v_A ⊗ ∇N_A at config n
+    dFdt_n1 = kin.rate_deformation_gradient_n1(grad_v, p.F, DF, p.dFdt)
+    # dJ/dt = J·tr(L) with L the spatial velocity gradient at n+1
+    dN1_v = jnp.einsum("pij,pkj->pki", tn.inv_transpose(DF), dN)
+    L_sp = kin.disp_gradient(v_edges, dN1_v)
+    dJdt_n1 = J_n1 * tn.trace(L_sp)
+
+    pw_cauchy = jnp.where(act, (eng.g2p(N, pw_nodes)) / J_n1, p.pw)
+    # NOTE pw carried on particles is the Kirchhoff pressure θ = J·p_cauchy
+    theta_p = pw_cauchy * J_n1
+    rho_f_n1 = rho_f0 * jnp.exp((pw_cauchy - p.pw0) / jnp.maximum(K_f, 1e-30))
+    phi_s_n1 = phi_s0 / J_n1
+    phi_f_n1 = 1.0 - (1.0 - phi_f0) / J_n1
+    rho_mix = p.rho_s * phi_s_n1 + rho_f_n1 * phi_f_n1
+
+    # effective stress from the soil constitutive law
+    cs = con.stress_integration(
+        F_n1=F_n1,
+        DF=DF,
+        dFdt_n1=dFdt_n1,
+        bemi=p.bemi,
+        bemi_zz=p.bemi_zz,
+        eps=p.eps,
+        kappa=p.kappa,
+        back_stress=p.back_stress,
+        mat_id=mix.soil_id[mid],
+        mats=mats,
+        kinds=cfg.kinds,
+    )
+
+    # --- mixture equilibrium: τ_tot = τ' − θ·I (Terzaghi) ---
+    tau_tot = cs.tau - theta_p[:, None, None] * jnp.eye(d)
+    dN1 = kin.push_forward_dN(dN, DF)
+    fi = -jnp.einsum("pij,pkj->pki", tau_tot * p.vol0[:, None, None], dN1)
+    forces = eng.p2g(fi)
+    accel_nodes = body_accel[None, :] + forces / m_safe[:, None]
+    if grid.dirichlet_mask is not None:
+        accel_nodes = jnp.where(grid.dirichlet_mask, 0.0, accel_nodes)
+    a_p = eng.g2p(N, accel_nodes)
+
+    # --- mass balance RHS (:1369-1380) ---
+    # jacobian-rate term
+    src = -eng.p2g(N * (rho_f_n1 * dJdt_n1 * p.vol0)[:, None])
+    # Darcy term: (1/g)·∇N_A·(F⁻¹k ∇θ)·V0
+    pw_edges = eng.edge_gather(pw_nodes[:, None])[..., 0]  # (Np,K)
+    grad_pw = jnp.einsum("pk,pki->pi", pw_edges, dN)  # spatial grad at n
+    Finv = tn.inv(F_n1)
+    Fk_gradpw = k_perm[:, None] * jnp.einsum("pij,pj->pi", Finv, grad_pw)
+    # reference-config gradient GRAD_A = F_nᵀ∇N_A
+    GRAD = jnp.einsum("pji,pkj->pki", p.F, dN)
+    src = src + (1.0 / g) * eng.p2g(
+        jnp.einsum("pki,pi->pk", GRAD, Fk_gradpw) * p.vol0[:, None]
+    )
+    # fluid-inertia term: (J ρ_f/g)·∇N_A·(F⁻¹k (a−b))·V0
+    dyn = a_p - body_accel[None, :]
+    Fk_dyn = k_perm[:, None] * jnp.einsum("pij,pj->pi", Finv, dyn)
+    src = src + eng.p2g(
+        jnp.einsum("pki,pi->pk", GRAD, Fk_dyn)
+        * ((J_n1 * rho_f_n1 / g) * p.vol0)[:, None]
+    )
+
+    dpw_dt_nodes = src / C_safe
+    if pw_dirichlet_mask is not None:
+        dpw_dt_nodes = jnp.where(pw_dirichlet_mask, 0.0, dpw_dt_nodes)
+    dpw_dt_p = eng.g2p(N, dpw_dt_nodes)
+
+    # --- corrector (:1882-1960) ---
+    d_dis_smooth = eng.g2p(N, d_dis_nodes)
+    v_new = v_pred + gamma * dt * a_p
+    pw_new = pw_pred + gamma * dt * dpw_dt_p
+
+    sel = act[:, None]
+    p_out = p.replace(
+        x=jnp.where(sel, p.x + d_dis_smooth, p.x),
+        dis=p.dis + jnp.where(sel, d_dis_smooth, 0.0),
+        v=jnp.where(sel, v_new, p.v),
+        a=jnp.where(sel, a_p, p.a),
+        F=F_n1,
+        dFdt=dFdt_n1,
+        J=J_n1,
+        dJdt=dJdt_n1,
+        bemi=cs.bemi,
+        bemi_zz=cs.bemi_zz,
+        stress=cs.tau,
+        stress_zz=cs.tau_zz,
+        eps=cs.eps,
+        kappa=cs.kappa,
+        back_stress=cs.back_stress,
+        W=cs.W,
+        pw=jnp.where(act, pw_new, p.pw),
+        dpw_dt=jnp.where(act, dpw_dt_p, p.dpw_dt),
+        rho_f=jnp.where(act, rho_f_n1, p.rho_f),
+        phi_s=jnp.where(act, phi_s_n1, p.phi_s),
+        phi_f=jnp.where(act, phi_f_n1, p.phi_f),
+        rho=jnp.where(act, rho_mix, p.rho),
+        mass=p.mass,
+        lme_lambda=sf["lam"] if sf["lam"] is not None else p.lme_lambda,
+    )
+    diag = dict(nnz=count_nnz(mask), lost=lost)
+    return p_out, diag
+
+
+def run(p, grid, mats, mix, cfg, n_steps, body_accel=None,
+        pw_dirichlet_mask=None, pw_dirichlet_value=None):
+    if body_accel is None:
+        body_accel = jnp.zeros((p.dim,), p.x.dtype)
+    if cfg.transfer == "windowed":
+        from .explicit import to_slot_layout
+
+        p = to_slot_layout(p, grid, cfg.active_box)
+
+    def body(carry, _):
+        pp, _diag = upw_step(
+            carry, grid, mats, mix, cfg, body_accel,
+            pw_dirichlet_mask, pw_dirichlet_value,
+        )
+        return pp, None
+
+    p_final, _ = jax.lax.scan(body, p, None, length=n_steps)
+    return p_final

@@ -66,23 +66,13 @@ class WindowedEngine:
         return windowed.g2p(field, jnp.where(self.mask, weights, 0.0), self.box, self.grid, self.offsets)
 
     def edge_gather(self, field):
-        scalar = field.ndim == 1
-        f = field.reshape(tuple(self.grid.dims) + ((1,) if scalar else (field.shape[-1],)))
-        c = f.shape[-1]
-        K = self.offsets.shape[0]
         box = self.box
-        out = jnp.zeros(box.cdims + (box.capacity, K, c), field.dtype)
-        for k in range(K):
-            sl = windowed._node_slices(box, self.grid.dims, self.offsets[k])
-            if sl is None:
-                continue
-            cs, ns = sl
-            fs = f[ns + (slice(None),)]
-            out = out.at[cs + (slice(None), k, slice(None))].add(
-                jnp.broadcast_to(
-                    fs[(...,) + (None, slice(None))],
-                    fs.shape[:-1] + (box.capacity, c),
-                )
-            )
-        out = out.reshape(box.n_slots, K, c)
+        per_cell = windowed.cell_edge_field(field, box, self.grid, self.offsets)
+        nc = box.n_cells
+        K = self.offsets.shape[0]
+        c = per_cell.shape[-1]
+        # every slot in a cell sees the same K node values: broadcast over C
+        out = jnp.broadcast_to(
+            per_cell.reshape((nc, 1, K, c)), (nc, box.capacity, K, c)
+        ).reshape(box.n_slots, K, c)
         return jnp.where(self.mask[..., None], out, 0.0)

@@ -185,6 +185,37 @@ def p2g(
     return out
 
 
+def cell_edge_field(
+    field: jax.Array,  # (n_nodes,) or (n_nodes, c)
+    box: ActiveBox,
+    grid: Grid,
+    offsets: np.ndarray,
+) -> jax.Array:
+    """Per-cell window view of a node field: out[cell, k, :] =
+    field[cell + off_k] (zero outside the grid).  Built as one stack of K
+    zero-padded static slices — the compile-friendly core of both G2P and
+    edge gathering (every slot in a cell sees the same K node values)."""
+    scalar = field.ndim == 1
+    f = field.reshape(tuple(grid.dims) + ((1,) if scalar else (field.shape[-1],)))
+    c = f.shape[-1]
+    K = offsets.shape[0]
+    nd = len(box.cdims)
+    slices = []
+    zero = None
+    for k in range(K):
+        sl = _node_slices(box, grid.dims, offsets[k])
+        if sl is None:
+            if zero is None:
+                zero = jnp.zeros(box.cdims + (c,), f.dtype)
+            slices.append(zero)
+            continue
+        cs, ns = sl
+        fs = f[ns + (slice(None),)]
+        pad = [(cs[ax].start, box.cdims[ax] - cs[ax].stop) for ax in range(nd)]
+        slices.append(jnp.pad(fs, pad + [(0, 0)]))
+    return jnp.stack(slices, axis=-2)  # (cells…, K, c)
+
+
 def g2p(
     field: jax.Array,  # (n_nodes,) or (n_nodes, c)
     weights: jax.Array,  # (Ns, K) masked weights (e.g. shape values)
@@ -192,22 +223,15 @@ def g2p(
     grid: Grid,
     offsets: np.ndarray,
 ) -> jax.Array:
-    """Windowed G2P: out_s = Σ_k w_sk · field[cell_s + off_k]."""
+    """Windowed G2P: out_s = Σ_k w_sk · field[cell_s + off_k] — one K
+    contraction against the stacked per-cell window view."""
     scalar = field.ndim == 1
-    f = field.reshape(tuple(grid.dims) + ((1,) if scalar else (field.shape[-1],)))
-    c = f.shape[-1]
-    K = weights.shape[1]
-    w = weights.reshape(box.cdims + (box.capacity, K))
-    acc = jnp.zeros(box.cdims + (box.capacity, c), weights.dtype)
+    per_cell = cell_edge_field(field, box, grid, offsets)  # (cells…, K, c)
     nd = len(box.cdims)
-    for k in range(K):
-        sl = _node_slices(box, grid.dims, offsets[k])
-        if sl is None:
-            continue
-        cs, ns = sl
-        fs = f[ns + (slice(None),)]  # (sub-cells…, c)
-        acc = acc.at[cs + (slice(None), slice(None))].add(
-            w[cs + (slice(None), k)][..., None] * fs[(...,) + (None, slice(None))]
-        )
-    out = acc.reshape(box.n_slots, c)
+    nc = box.n_cells
+    K = weights.shape[1]
+    c = per_cell.shape[-1]
+    w = weights.reshape((nc, box.capacity, K))
+    pc = per_cell.reshape((nc, K, c))
+    out = jnp.einsum("nsk,nkc->nsc", w, pc).reshape(box.n_slots, c)
     return out[:, 0] if scalar else out

@@ -41,7 +41,10 @@ class LMEParams:
     gamma: float = struct.field(pytree_node=False, default=3.0)
     tol_zero: float = struct.field(pytree_node=False, default=1e-10)
     max_iter: int = struct.field(pytree_node=False, default=10)
-    tol_lambda: float = struct.field(pytree_node=False, default=1e-10)
+    # λ-Newton tolerance on ‖r‖ relative to the support radius.  The
+    # reference's TOL_wrapper_LME is absolute in f64; 1e-6 relative is the
+    # practical float32 floor (r = Σp·l is O(radius)·O(eps_f32) at best).
+    tol_lambda: float = struct.field(pytree_node=False, default=1e-6)
 
 
 def beta_of(params: LMEParams, h: float) -> float:
@@ -107,18 +110,33 @@ def solve_lambda(
       lam:  (Np, d) converged multipliers.
     """
     sq = jnp.sum(rel * rel, axis=-1)  # (Np, K)
+    # convergence scale: r is O(h)-sized; tol relative to support radius
+    scale = jnp.sqrt(jnp.maximum(jnp.max(sq, axis=-1, where=mask, initial=0.0), 1e-30))
 
     def f_of(lam):
         return -beta * sq + jnp.einsum("...i,...ki->...k", lam, rel)
 
-    def body(_, lam):
+    def step(lam):
         p = _masked_softmax(f_of(lam), mask)
         r, J = _r_and_J(p, rel)
         dlam = _safe_solve(J, r)
-        conv = jnp.linalg.norm(r, axis=-1) <= params.tol_lambda
-        return jnp.where(conv[..., None], lam, lam - dlam)
+        conv = jnp.linalg.norm(r, axis=-1) <= params.tol_lambda * scale
+        return jnp.where(conv[..., None], lam, lam - dlam), jnp.all(conv)
 
-    return jax.lax.fori_loop(0, params.max_iter, body, lam0)
+    # while_loop with a global all-converged early exit: the warm-started λ
+    # (persisted across steps, as the reference persists MPM_Mesh.lambda)
+    # makes 1-2 iterations the steady-state cost instead of max_iter
+    def cond(state):
+        lam, done, it = state
+        return (~done) & (it < params.max_iter)
+
+    def body(state):
+        lam, _, it = state
+        lam, all_conv = step(lam)
+        return (lam, all_conv, it + 1)
+
+    lam, _, _ = jax.lax.while_loop(cond, body, (lam0, jnp.asarray(False), jnp.asarray(0)))
+    return lam
 
 
 def evaluate(grid: Grid, x: jax.Array, lam0: jax.Array, params: LMEParams):

@@ -118,6 +118,15 @@ class Particles:
     stress_zz: Array  # (Np,)
     eps: Array  # (Np,) equivalent plastic strain
     kappa: Array  # (Np,) hardening internal variable
+    # Soil-water mixture state (-upw formulation; U-pw-Analisys.c:123-161)
+    pw: Array  # (Np,) Kirchhoff pore water pressure
+    dpw_dt: Array  # (Np,) rate of pore water pressure
+    pw0: Array  # (Np,) initial Cauchy pore pressure
+    rho_s: Array  # (Np,) intrinsic solid density
+    rho_f: Array  # (Np,) intrinsic fluid density
+    phi_s: Array  # (Np,) solid volume fraction
+    phi_f: Array  # (Np,) fluid volume fraction
+    dJdt: Array  # (Np,) rate of the soil-skeleton jacobian
     back_stress: Array  # (Np, 3) principal back stress (kinematic hardening)
     W: Array  # (Np,) strain-energy density
     damage: Array  # (Np,) damage in [0, 1]
@@ -174,6 +183,14 @@ def make_particles(
         stress_zz=zeros_s,
         eps=zeros_s,
         kappa=zeros_s,
+        pw=zeros_s,
+        dpw_dt=zeros_s,
+        pw0=zeros_s,
+        rho_s=zeros_s,
+        rho_f=zeros_s,
+        phi_s=zeros_s,
+        phi_f=zeros_s,
+        dJdt=zeros_s,
         back_stress=jnp.zeros((np_, 3), dt),
         W=zeros_s,
         damage=zeros_s,

@@ -1,0 +1,139 @@
+"""Two-phase soil-water (-upw) formulation tests.
+
+Oracle: 1D consolidation physics — an undrained saturated column under
+self-weight builds pore pressure; with drainage at the top it consolidates
+(pore pressure decays, effective stress grows).  Validates the coupled
+mixture equilibrium + mass balance without requiring the (unpublished)
+reference numbers.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nlpartsol_tpu.types import Grid, make_particles
+from nlpartsol_tpu.models import materials as M
+from nlpartsol_tpu.formulations.upw import (
+    MixtureTable,
+    UpwConfig,
+    init_mixture_state,
+    make_mixture_table,
+    upw_step,
+)
+
+E_SOIL, RHO_S, RHO_F = 1e7, 2700.0, 1000.0
+KF = 2.2e9  # water bulk modulus
+
+
+def column_setup(ny=10, h=0.1):
+    nx = 2
+    dims = (nx + 1, ny + 1)
+    n_nodes = dims[0] * dims[1]
+    ids = np.arange(n_nodes).reshape(dims)
+    dmask = np.zeros((n_nodes, 2), bool)
+    dmask[ids[:, 0], 1] = True  # bottom fixed in y
+    dmask[:, 0] = True  # 1D column: no x motion
+    grid = Grid(
+        dims=dims,
+        spacing=h,
+        origin=(0.0, 0.0),
+        dirichlet_mask=jnp.asarray(dmask),
+        dirichlet_value=jnp.zeros((n_nodes, 2), jnp.float32),
+    )
+    ppc = 2
+    xs = [
+        [(i + (a + 0.5) / ppc) * h, (j + (b + 0.5) / ppc) * h]
+        for i in range(nx)
+        for j in range(ny)
+        for a in range(ppc)
+        for b in range(ppc)
+    ]
+    x = np.array(xs, np.float32)
+    vol = (h / ppc) ** 2
+    p = make_particles(x, mass=np.full(len(x), vol), vol0=np.full(len(x), vol))
+
+    mats = M.material_table(
+        [
+            M.material(kind="Neo-Hookean-Wriggers", E=E_SOIL, nu=0.3, rho0=RHO_S),
+            M.material(kind="Newtonian-Fluid-Compressible", rho0=RHO_F, compressibility=KF),
+        ]
+    )
+    mix = make_mixture_table(
+        [dict(soil_id=0, water_id=1, phi_s0=0.6, phi_f0=0.4, permeability=1e-5)]
+    )
+    p = init_mixture_state(p, mats, mix)
+    return grid, p, mats, mix, h, ny * h
+
+
+def test_mixture_init():
+    grid, p, mats, mix, h, H = column_setup()
+    rho_mix = 2700 * 0.6 + 1000 * 0.4
+    np.testing.assert_allclose(np.asarray(p.rho), rho_mix, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p.phi_f), 0.4)
+    np.testing.assert_allclose(np.asarray(p.mass), rho_mix * np.asarray(p.vol0), rtol=1e-5)
+
+
+def mixture_celerity(p, phi_f):
+    """Undrained p-wave speed: (constrained skeleton + Biot modulus K_f/φ_f)
+    over mixture density (DeltaT_Coussy__SolversLib__ uses only sqrt(E/ρ) —
+    insufficient for stability with a stiff fluid)."""
+    return np.sqrt((E_SOIL + KF / phi_f) / float(p.rho[0]))
+
+
+def test_upw_gravity_loading_builds_pore_pressure():
+    """Sudden gravity on a saturated column: pore pressure becomes positive
+    (compression-positive convention, as the reference's mass balance) with
+    magnitude growing with depth, and the run is stable."""
+    grid, p, mats, mix, h, H = column_setup()
+    cel = mixture_celerity(p, 0.4)
+    dt = 0.3 * h / cel
+    cfg = UpwConfig(dt=dt, shapefun="fem", kinds=(M.NEO_HOOKEAN,))
+    step = jax.jit(upw_step, static_argnums=(4,))
+    body = jnp.asarray([0.0, -9.81], jnp.float32)
+    for _ in range(60):
+        p, diag = step(p, grid, mats, mix, cfg, body)
+    assert np.all(np.isfinite(np.asarray(p.x)))
+    pw = np.asarray(p.pw)
+    y = np.asarray(p.x)[:, 1]
+    # compression ⇒ positive pore pressure, larger at depth
+    deep = pw[y < 0.3 * H].mean()
+    shallow = pw[y > 0.7 * H].mean()
+    assert deep > 0, f"expected compressive (positive) pore pressure at depth, got {deep}"
+    assert deep > shallow, "pore pressure must increase with depth"
+    # fluid density and porosity responded
+    assert np.asarray(p.phi_f).min() > 0.0
+    assert abs(float(jnp.max(p.J)) - 1.0) < 0.1
+
+
+def test_upw_incompressible_limit_total_stress():
+    """With huge K_f and permeability→0 (undrained), the short-time total
+    vertical stress must approach the lithostatic ρ_mix·g·(H−y) profile."""
+    grid, p, mats, mix, h, H = column_setup()
+    mix = make_mixture_table(
+        [dict(soil_id=0, water_id=1, phi_s0=0.6, phi_f0=0.4, permeability=0.0)]
+    )
+    rho_mix = float(p.rho[0])
+    cel = mixture_celerity(p, 0.4)
+    dt = 0.25 * h / cel
+    cfg = UpwConfig(dt=dt, shapefun="fem", kinds=(M.NEO_HOOKEAN,))
+    step = jax.jit(upw_step, static_argnums=(4,))
+    body = jnp.asarray([0.0, -9.81], jnp.float32)
+    # the undrained system has no dissipation: the p-wave rings forever, so
+    # compare the TIME-AVERAGED total stress over full ring periods with the
+    # lithostatic profile (the oscillation averages out)
+    n_settle, n_avg = 200, 200
+    for _ in range(n_settle):
+        p, _ = step(p, grid, mats, mix, cfg, body)
+    acc = None
+    for _ in range(n_avg):
+        p, _ = step(p, grid, mats, mix, cfg, body)
+        s = np.asarray(p.stress)[:, 1, 1] - np.asarray(p.pw)
+        acc = s if acc is None else acc + s
+    s_total = acc / n_avg
+    y = np.asarray(p.x)[:, 1]
+    s_ref = -rho_mix * 9.81 * (H - y)
+    bulk = (y > 0.15 * H) & (y < 0.85 * H)
+    assert bulk.sum() > 0
+    err = np.abs(s_total[bulk] - s_ref[bulk]).max() / (rho_mix * 9.81 * H)
+    assert err < 0.30, f"time-averaged total stress error {err:.2f}"

@@ -120,3 +120,35 @@ def test_windowed_multistep_run():
     ke0 = 0.5 * float(jnp.sum(p.mass * jnp.sum(p.v**2, -1)))
     etot = float(en["kinetic_energy"][-1] + en["strain_energy"][-1])
     assert abs(etot - ke0) / ke0 < 0.05
+
+
+def test_fbar_nearly_incompressible_column():
+    """F-bar keeps a nearly-incompressible column from volumetric locking:
+    just verify it runs, stays finite, and changes the response vs no-fbar."""
+    grid, p, mats_old, L, h = bar_setup("fem")
+    mats = M.material_table(
+        [M.material(kind="Neo-Hookean-Wriggers", E=E_, nu=0.49, rho0=RHO, alpha_fbar=0.9)]
+    )
+    vx = 0.05 * np.sin(np.pi * np.asarray(p.x)[:, 0] / L)
+    p = p.replace(v=jnp.asarray(np.stack([vx, np.zeros_like(vx)], -1)))
+    box = windowed.full_box(grid, capacity=6)
+    dt = courant_dt(0.2, h, C * 3)
+    base = ExplicitConfig(
+        dt=dt, shapefun="fem", kinds=(M.NEO_HOOKEAN,), transfer="windowed", active_box=box
+    )
+    stepj = jax.jit(explicit_step, static_argnums=(3,))
+    body = jnp.zeros((2,), jnp.float32)
+    p_fb = to_slot = None
+    from nlpartsol_tpu.formulations.explicit import to_slot_layout
+
+    p0 = to_slot_layout(p, grid, box)
+    pa, pb = p0, p0
+    cfg_fb = base.replace(fbar=True)
+    for _ in range(10):
+        pa, _ = stepj(pa, grid, mats, base, body)
+        pb, _ = stepj(pb, grid, mats, cfg_fb, body)
+    assert np.all(np.isfinite(np.asarray(pb.x)))
+    # F-bar must alter the stress response for nu→0.5
+    sa = np.asarray(pa.stress)[np.asarray(pa.active)]
+    sb = np.asarray(pb.stress)[np.asarray(pb.active)]
+    assert not np.allclose(sa, sb, rtol=1e-3)
