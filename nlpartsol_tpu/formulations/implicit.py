@@ -35,7 +35,7 @@ from flax import struct
 
 from ..models import dispatch as con
 from ..models.materials import MaterialTable, lame_parameters
-from ..ops import solvers, windowed
+from ..ops import bsr, solvers, windowed
 from ..ops import tensor as tn
 from ..ops.sparse import nnz as count_nnz
 from ..shapefun import alme, lme
@@ -87,11 +87,35 @@ class ImplicitConfig:
     cg_maxiter: int = struct.field(pytree_node=False, default=200)
     alpha_blend: float = struct.field(pytree_node=False, default=1.0)  # 1 ⇒ FLIP
     quasi_static: bool = struct.field(pytree_node=False, default=False)
+    # preconditioner: 'jacobi' (spectral-scalar) or 'block-jacobi'
+    # (exact AD-assembled d×d diagonal blocks, ops/bsr.py)
+    precond: str = struct.field(pytree_node=False, default="jacobi")
     # transfer backend: 'windowed' (needs active_box) or 'scatter'
     transfer: str = struct.field(pytree_node=False, default="scatter")
     active_box: windowed.ActiveBox = struct.field(pytree_node=False, default=None)
     # shard_map axis over which particles are sharded (grid replicated)
     axis_name: str = struct.field(pytree_node=False, default=None)
+
+
+def edge_force_jacobian(fi_fn, grad0: jax.Array) -> jax.Array:
+    """H[p, A, i, l, m] = ∂f_{pA,i}/∂(∇du_p)_{lm} by d² forward-mode JVPs
+    of the batched integrand (each particle's f depends only on its own
+    gradient, so a broadcast basis direction extracts the exact per-particle
+    derivative for the whole batch at once).  AD through the return mapping
+    yields the algorithmically consistent tangent for every material —
+    replacing the reference's hand-derived `stiffness_density` per model
+    (src/Constitutive/Constitutive.c:262-381)."""
+    d = grad0.shape[-1]
+    cols = []
+    for l in range(d):
+        for m in range(d):
+            E = jnp.zeros((d, d), grad0.dtype).at[l, m].set(1.0)
+            tang = jax.jvp(
+                fi_fn, (grad0,), (jnp.broadcast_to(E, grad0.shape),)
+            )[1]
+            cols.append(tang)  # (Ns, K, d)
+    H = jnp.stack(cols, axis=-1)  # (Ns, K, d, d*d)
+    return H.reshape(H.shape[:-1] + (d, d))
 
 
 def implicit_step(
@@ -149,12 +173,10 @@ def implicit_step(
     vel_const_nodes = (nm.alpha_5 - 1.0) * Un_dt + nm.alpha_6 * Un_dt2
     grad_vel_const = kin.disp_gradient(eng.edge_gather(vel_const_nodes), dN)
 
-    def local_state(dU):
-        """ΔF, F_{n+1}, stress at the current Newton iterate (does NOT
-        mutate particle state — the reference recomputes per residual call
-        the same way, :1064-1256)."""
-        du_edges = eng.edge_gather(dU)
-        grad_du = kin.disp_gradient(du_edges, dN)
+    def local_state_of_grad(grad_du):
+        """ΔF, F_{n+1}, stress from the particle displacement gradient at
+        the current Newton iterate (does NOT mutate particle state — the
+        reference recomputes per residual call the same way, :1064-1256)."""
         DF = grad_du + jnp.eye(d, dtype=grad_du.dtype)
         F_n1 = DF @ p.F
         dt_DF = nm.alpha_4 * grad_du + grad_vel_const
@@ -174,13 +196,25 @@ def implicit_step(
         )
         return DF, F_n1, dFdt_n1, cs
 
+    def fi_of_grad(grad_du):
+        """Per-edge internal-force integrand f_{pA} = V0·τ_eff·∇N¹_A —
+        the function whose forward-mode derivative is the exact consistent
+        tangent (replaces hand-derived stiffness densities,
+        Constitutive.c:262)."""
+        DF, _, _, cs = local_state_of_grad(grad_du)
+        tau_eff = cs.tau * (1.0 - p.damage)[:, None, None]
+        dN1 = kin.push_forward_dN(dN, DF)
+        return jnp.einsum("pij,pkj->pki", tau_eff * p.vol0[:, None, None], dN1)
+
+    def local_state(dU):
+        grad_du = kin.disp_gradient(eng.edge_gather(dU), dN)
+        return local_state_of_grad(grad_du)
+
     def residual(dU_free):
         # Prescribed increments live on Dirichlet dofs; unknowns on free dofs
         dU = jnp.where(free, dU_free, dU_dirichlet)
-        DF, F_n1, dFdt_n1, cs = local_state(dU)
-        tau_eff = cs.tau * (1.0 - p.damage)[:, None, None]
-        dN1 = kin.push_forward_dN(dN, DF)
-        fi = jnp.einsum("pij,pkj->pki", tau_eff * p.vol0[:, None, None], dN1)
+        grad_du = kin.disp_gradient(eng.edge_gather(dU), dN)
+        fi = fi_of_grad(grad_du)
         R = eng.p2g(fi)  # internal forces (+ sign, :1257)
         if traction is not None:
             tr = (N * traction_area[:, None])[..., None] * traction[:, None, :]
@@ -196,16 +230,35 @@ def implicit_step(
             )
         return jnp.where(free, R, 0.0)
 
-    # Jacobi preconditioner: α₁·m + a spectrally-scaled stiffness diagonal
-    # Σ_p V0 (λ+2G) |∇N_pA|² (PCJACOBI equivalent, :326-335)
-    lam_p, G_p = lame_parameters(mats.E[p.mat_id], mats.nu[p.mat_id])
-    stiff_scale = (lam_p + 2.0 * G_p) * p.vol0
-    diag_K = eng.p2g(stiff_scale[:, None] * jnp.sum(dN * dN, axis=-1))
-    diag = diag_K[:, None] + (0.0 if cfg.quasi_static else nm.alpha_1 * m_nodes[:, None])
-    diag = jnp.where(free, jnp.maximum(diag, 1e-30), 1.0)
+    if cfg.precond == "block-jacobi":
+        # exact AD-assembled d×d diagonal blocks K_AA (+ α₁·m·I), inverted
+        # in closed form per node (ops/bsr.py) — upgrades the reference's
+        # scalar PCJACOBI (:326-335)
+        H = edge_force_jacobian(fi_of_grad, jnp.zeros_like(p.F))
+        Bi = jnp.einsum("skilm,skm->skil", H, dN)  # pair (i,i) blocks
+        ns_, K_ = dN.shape[0], dN.shape[1]
+        diag_blocks = eng.p2g(Bi.reshape(ns_, K_, d * d)).reshape(
+            n_nodes, d, d
+        )
+        shift = None if cfg.quasi_static else nm.alpha_1 * m_nodes
+        Dinv = bsr.block_jacobi_inverse(diag_blocks, free=free, shift=shift)
 
-    def M_inv(r):
-        return r / diag
+        def M_inv(r):
+            return jnp.einsum("nij,nj->ni", Dinv, r)
+
+    else:
+        # Jacobi preconditioner: α₁·m + a spectrally-scaled stiffness
+        # diagonal Σ_p V0 (λ+2G) |∇N_pA|² (PCJACOBI equivalent, :326-335)
+        lam_p, G_p = lame_parameters(mats.E[p.mat_id], mats.nu[p.mat_id])
+        stiff_scale = (lam_p + 2.0 * G_p) * p.vol0
+        diag_K = eng.p2g(stiff_scale[:, None] * jnp.sum(dN * dN, axis=-1))
+        diag = diag_K[:, None] + (
+            0.0 if cfg.quasi_static else nm.alpha_1 * m_nodes[:, None]
+        )
+        diag = jnp.where(free, jnp.maximum(diag, 1e-30), 1.0)
+
+        def M_inv(r):
+            return r / diag
 
     res = solvers.newton_krylov(
         residual,
@@ -268,6 +321,81 @@ def implicit_step(
         lost=lost,
     )
     return p_out, diag_out
+
+
+def assemble_tangent(
+    p: Particles,
+    grid: Grid,
+    mats: MaterialTable,
+    cfg: ImplicitConfig,
+    dU: Optional[jax.Array] = None,
+):
+    """Assembled banded-BSR Newmark tangent J = Σ_p H·∇N + α₁·M at the
+    iterate dU (default 0), Dirichlet rows/cols zeroed — the standalone
+    equivalent of the reference's `__jacobian_evaluation`
+    (U-Newmark-beta.c:1646-1830) for modified-Newton / preconditioner /
+    SpMV-benchmark use.  Requires the windowed transfer backend."""
+    if cfg.transfer != "windowed":
+        raise ValueError("assemble_tangent requires cfg.transfer='windowed'")
+    d = p.dim
+    nm = newmark_parameters(cfg.beta, cfg.gamma, cfg.dt)
+    binning = windowed.bin_particles(grid, cfg.active_box, p.x, p.active)
+    p = windowed.permute_to_slots(p, binning)
+    act = p.active
+
+    sf, offsets = shapefun_eval(cfg, grid, p)
+    N, dN, mask = sf["N"], sf["dN"], sf["mask"] & act[:, None]
+    eng = make_engine(cfg, grid, sf, offsets, mask)
+
+    m_nodes = eng.p2g(N * p.mass[:, None])
+    m_safe = jnp.maximum(m_nodes, cfg.mass_tol)[:, None]
+    has_mass = (m_nodes > cfg.mass_tol)[:, None]
+
+    def project(field_p):
+        mom = (N * p.mass[:, None])[..., None] * field_p[:, None, :]
+        return eng.p2g(mom) / m_safe
+
+    Un_dt = project(p.v)
+    Un_dt2 = project(p.a)
+    if grid.dirichlet_mask is not None:
+        free = has_mass & ~grid.dirichlet_mask
+    else:
+        free = has_mass
+    vel_const_nodes = (nm.alpha_5 - 1.0) * Un_dt + nm.alpha_6 * Un_dt2
+    grad_vel_const = kin.disp_gradient(eng.edge_gather(vel_const_nodes), dN)
+
+    def fi_of_grad(grad_du):
+        DF = grad_du + jnp.eye(d, dtype=grad_du.dtype)
+        F_n1 = DF @ p.F
+        dt_DF = nm.alpha_4 * grad_du + grad_vel_const
+        dFdt_n1 = kin.rate_deformation_gradient_n1(dt_DF, p.F, DF, p.dFdt)
+        cs = con.stress_integration(
+            F_n1=F_n1,
+            DF=DF,
+            dFdt_n1=dFdt_n1,
+            bemi=p.bemi,
+            bemi_zz=p.bemi_zz,
+            eps=p.eps,
+            kappa=p.kappa,
+            back_stress=p.back_stress,
+            mat_id=p.mat_id,
+            mats=mats,
+            kinds=cfg.kinds,
+        )
+        tau_eff = cs.tau * (1.0 - p.damage)[:, None, None]
+        dN1 = kin.push_forward_dN(dN, DF)
+        return jnp.einsum("pij,pkj->pki", tau_eff * p.vol0[:, None, None], dN1)
+
+    if dU is None:
+        grad0 = jnp.zeros_like(p.F)
+    else:
+        grad0 = kin.disp_gradient(eng.edge_gather(dU), dN)
+    H = edge_force_jacobian(fi_of_grad, grad0)
+    A = bsr.assemble(H, dN, mask, cfg.active_box, grid, offsets)
+    if not cfg.quasi_static:
+        A = bsr.add_diagonal(A, nm.alpha_1 * m_nodes)
+    A = bsr.apply_dof_masks(A, free)
+    return A, dict(free=free, m_nodes=m_nodes, binning=binning)
 
 
 def run(
