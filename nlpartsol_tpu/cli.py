@@ -50,27 +50,33 @@ def main(argv=None):
     if not args.sim_file and not args.two_stage:
         ap.error("provide -f sim.nlp or -ff static.nlp dynamic.nlp")
 
-    formulation = args.formulation or "u"
-    if formulation != "u":
-        print(f"formulation -{formulation}: mixture drivers land with the "
-              "u-p/u-pw milestone; running -u machinery where applicable")
+    formulation = args.formulation
+
+    def _apply_formulation(setup):
+        # CLI --FORMULATION-* overrides the .nlp-inferred formulation
+        # (driver-nl-partsol.c:115-131)
+        if formulation and formulation != setup.formulation:
+            if formulation == "upw" and setup.mixtures is None:
+                raise SystemExit("-upw needs a Define-Mixture block in the .nlp")
+            setup.formulation = formulation
+        return setup
 
     if args.two_stage:
         # reference -ff flow (driver-nl-partsol.c:206-292): static gravity
         # preload, then continue dynamically with the particle state
-        static_setup = build_simulation(args.two_stage[0])
+        static_setup = _apply_formulation(build_simulation(args.two_stage[0]))
         p_static, _ = run_simulation(
             static_setup, transfer=args.transfer,
             write_outputs=not args.no_output, n_steps=args.steps,
         )
-        dyn_setup = build_simulation(args.two_stage[1])
+        dyn_setup = _apply_formulation(build_simulation(args.two_stage[1]))
         dyn_setup = dyn_setup.__class__(**{**dyn_setup.__dict__, "particles": p_static})
         p, hist = run_simulation(
             dyn_setup, transfer=args.transfer,
             write_outputs=not args.no_output, n_steps=args.steps,
         )
     else:
-        setup = build_simulation(args.sim_file)
+        setup = _apply_formulation(build_simulation(args.sim_file))
         p, hist = run_simulation(
             setup, transfer=args.transfer,
             write_outputs=not args.no_output, n_steps=args.steps,

@@ -49,6 +49,30 @@ def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_b
         active_box=active_box,
         **shp_kw,
     )
+    formulation = getattr(setup, "formulation", "u")
+    if formulation == "up":
+        from .formulations.up import UpConfig
+
+        return UpConfig(
+            beta=sp.beta,
+            gamma=sp.gamma,
+            newton_tol=sp.tol,
+            newton_maxiter=sp.max_iter,
+            quasi_static=sp.scheme in STATIC_SCHEMES,
+            **common,
+        )
+    if formulation == "upw":
+        from .formulations.upw import UpwConfig, UpwImplicitConfig
+
+        if sp.scheme in EXPLICIT_SCHEMES:
+            return UpwConfig(gamma=sp.gamma, **common)
+        return UpwImplicitConfig(
+            beta=sp.beta,
+            gamma=sp.gamma,
+            newton_tol=sp.tol,
+            newton_maxiter=sp.max_iter,
+            **common,
+        )
     if sp.scheme in EXPLICIT_SCHEMES:
         return ExplicitConfig(gamma=0.5, **common)
     if sp.scheme in IMPLICIT_SCHEMES:
@@ -79,9 +103,27 @@ def run_simulation(
 ):
     """Run the configured simulation; returns (particles, history dict)."""
     cfg = make_step_config(setup, transfer=transfer, active_box=active_box)
-    is_implicit = isinstance(cfg, ImplicitConfig)
-    step_fn = implicit_step if is_implicit else explicit_step
-    step = jax.jit(step_fn, static_argnums=(3,))
+    formulation = getattr(setup, "formulation", "u")
+    mixtures = getattr(setup, "mixtures", None)
+    if formulation == "up":
+        from .formulations.up import UpConfig, up_step
+
+        is_implicit = True
+        step = jax.jit(up_step, static_argnums=(3,))
+    elif formulation == "upw":
+        from .formulations.upw import UpwImplicitConfig, upw_newmark_step, upw_step
+
+        is_implicit = isinstance(cfg, UpwImplicitConfig)
+        fn = upw_newmark_step if is_implicit else upw_step
+        two_phase = jax.jit(fn, static_argnums=(4,))
+
+        def step(p, g, mats, cfg, body, traction=None, t_area=None):
+            return two_phase(p, g, mats, mixtures, cfg, body)
+
+    else:
+        is_implicit = isinstance(cfg, ImplicitConfig)
+        step_fn = implicit_step if is_implicit else explicit_step
+        step = jax.jit(step_fn, static_argnums=(3,))
 
     grid = setup.grid
     p = setup.particles
@@ -130,9 +172,9 @@ def run_simulation(
         p, diag = step(p, g, mats, cfg, body, traction, t_area)
 
         history["t"].append((i + 1) * dt)
-        if is_implicit:
+        if "newton_iters" in diag:
             history["newton_iters"].append(int(diag["newton_iters"]))
-        else:
+        if "kinetic_energy" in diag:
             history["kinetic_energy"].append(float(diag["kinetic_energy"]))
             history["strain_energy"].append(float(diag["strain_energy"]))
 

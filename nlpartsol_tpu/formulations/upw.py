@@ -281,6 +281,294 @@ def upw_step(
     return p_out, diag
 
 
+@struct.dataclass
+class UpwImplicitConfig:
+    """Monolithic implicit u-pw Newmark-β (upw_Newmark_beta_Finite_Strains,
+    /root/reference/nl-partsol/src/Formulations/Displacements-WaterPressure/
+    U-pw-Newmark-beta.c:85)."""
+
+    dt: float = struct.field(pytree_node=False)
+    beta: float = struct.field(pytree_node=False, default=0.25)
+    gamma: float = struct.field(pytree_node=False, default=0.5)
+    shapefun: str = struct.field(pytree_node=False, default="lme")
+    lme_params: lme.LMEParams = struct.field(
+        pytree_node=False, default_factory=lme.LMEParams
+    )
+    alme_params: object = struct.field(pytree_node=False, default=None)
+    kinds: tuple = struct.field(pytree_node=False, default=(3,))
+    mass_tol: float = struct.field(pytree_node=False, default=1e-12)
+    newton_tol: float = struct.field(pytree_node=False, default=1e-5)
+    newton_maxiter: int = struct.field(pytree_node=False, default=20)
+    krylov_tol: float = struct.field(pytree_node=False, default=1e-7)
+    krylov_maxiter: int = struct.field(pytree_node=False, default=200)
+    alpha_blend: float = struct.field(pytree_node=False, default=1.0)  # FLIP
+    transfer: str = struct.field(pytree_node=False, default="scatter")
+    active_box: windowed.ActiveBox = struct.field(pytree_node=False, default=None)
+    axis_name: str = struct.field(pytree_node=False, default=None)
+    gravity_g: float = struct.field(pytree_node=False, default=-9.81)
+
+
+def upw_newmark_step(
+    p: Particles,
+    grid: Grid,
+    mats: MaterialTable,
+    mix: MixtureTable,
+    cfg: UpwImplicitConfig,
+    body_accel: jax.Array,  # (d,)
+    pw_dirichlet_mask: Optional[jax.Array] = None,  # (n_nodes,) bool
+    pw_dirichlet_value: Optional[jax.Array] = None,  # (n_nodes,) increments
+):
+    """One monolithic implicit Newmark-β step of the u-pw mixture.
+
+    Stacked nodal unknown z = (dU, dθ), Ndof = Ndim+1 (the reference's
+    Nodal_Field ``value``; U-pw-Newmark-beta.c:30-36).  Residual rows:
+
+      u rows:  Σ_p V0·(τ' − θ_{n+1}·I)·∇N¹  (compute_Internal_Forces_Mixture
+               :908-1016 with P_total = P' − θF^{-T}, :1018-1042)
+               + m_mix·(α₁dU − α₂u̇ₙ − α₃üₙ − b)   (:867-905)
+      θ rows:  Σ_p N·[(φ_f·ρ_f/K_f)·θ̇_{n+1} + ρ_f·dJ/dt]·V0
+               (compute_Rate_Mass_Fluid :1044-1158)
+               − (1/g)·Σ_p GRAD_A·[F⁻¹kF^{-T}·GRADθ_{n+1}
+                  + J·ρ_f·F⁻¹k·(a_{n+1}−b)]·V0
+               (compute_Flow_contribution_Fluid :1160-1410)
+
+    First-order dof θ uses the generalized-trapezoidal rate
+    θ̇_{n+1} = (dθ − (1−γ)Δt·θ̇ₙ)/(γΔt), consistent with the explicit
+    two-phase corrector above; u uses the standard Newmark α relations.
+    The reference LU-factorises a dense monolithic tangent each iteration
+    (:2238-2285); here the coupled nonsymmetric system is solved matrix-free
+    with Newton-GMRES (ops/solvers.py).
+    """
+    from ..ops import solvers
+    from .implicit import newmark_parameters
+
+    d = p.dim
+    n_nodes = grid.n_nodes
+    dt, gamma = cfg.dt, cfg.gamma
+    nm = newmark_parameters(cfg.beta, cfg.gamma, dt)
+    g = cfg.gravity_g
+
+    lost = jnp.zeros((), jnp.int32)
+    if cfg.transfer == "windowed":
+        binning = windowed.bin_particles(grid, cfg.active_box, p.x, p.active)
+        p = windowed.permute_to_slots(p, binning)
+        lost = binning.lost
+
+    act = p.active
+    mid = p.mat_id
+    K_f = mats.compressibility[mix.water_id[mid]]
+    rho_f0 = mats.rho0[mix.water_id[mid]]
+    phi_s0 = mix.phi_s0[mid]
+    phi_f0 = mix.phi_f0[mid]
+    k_perm = mix.permeability[mid]
+
+    sf, offsets = shapefun_eval(cfg, grid, p)
+    N, dN, mask = sf["N"], sf["dN"], sf["mask"] & act[:, None]
+    eng = make_engine(cfg, grid, sf, offsets, mask)
+
+    m_nodes = eng.p2g(N * p.mass[:, None])
+    m_safe = jnp.maximum(m_nodes, cfg.mass_tol)
+    has_mass = (m_nodes > cfg.mass_tol)[:, None]
+    comp_density = (p.phi_f * p.rho_f / jnp.maximum(K_f, 1e-30)) * p.vol0
+    C_nodes = eng.p2g(N * comp_density[:, None])
+
+    def project(field_p):
+        mom = (N * p.mass[:, None])[..., None] * field_p[:, None, :]
+        return eng.p2g(mom) / m_safe[:, None]
+
+    Un_dt = project(p.v)
+    Un_dt2 = project(p.a)
+    # nodal Kirchhoff pore pressure at t=n (compressibility-weighted
+    # recovery, same lumping as the explicit two-phase path)
+    C_safe = jnp.maximum(C_nodes, cfg.mass_tol)
+    theta_n_nodes = eng.p2g(N * comp_density[:, None] * p.pw[:, None]) / C_safe
+    dtheta_dt_n = eng.p2g(N * comp_density[:, None] * p.dpw_dt[:, None]) / C_safe
+
+    if grid.dirichlet_mask is not None:
+        free_u = has_mass & ~grid.dirichlet_mask
+        dU_dirichlet = jnp.where(grid.dirichlet_mask, grid.dirichlet_value, 0.0)
+    else:
+        free_u = has_mass
+        dU_dirichlet = jnp.zeros((n_nodes, d), p.x.dtype)
+    if pw_dirichlet_mask is not None:
+        free_t = has_mass[:, 0] & ~pw_dirichlet_mask
+        # pw_dirichlet_value prescribes the TOTAL nodal θ (as the explicit
+        # path does); the unknown here is the increment dθ = θ̄ − θ_n
+        dth_dirichlet = jnp.where(
+            pw_dirichlet_mask, pw_dirichlet_value - theta_n_nodes, 0.0
+        )
+    else:
+        free_t = has_mass[:, 0]
+        dth_dirichlet = jnp.zeros((n_nodes,), p.x.dtype)
+
+    vel_const_nodes = (nm.alpha_5 - 1.0) * Un_dt + nm.alpha_6 * Un_dt2
+    grad_vel_const = kin.disp_gradient(eng.edge_gather(vel_const_nodes), dN)
+    eye = jnp.eye(d, dtype=p.x.dtype)
+
+    def local_state(dU, dth):
+        grad_du = kin.disp_gradient(eng.edge_gather(dU), dN)
+        DF = grad_du + eye
+        F_n1 = DF @ p.F
+        J_n1 = jnp.maximum(tn.det(F_n1), 1e-8)
+        dt_DF = nm.alpha_4 * grad_du + grad_vel_const
+        dFdt_n1 = kin.rate_deformation_gradient_n1(dt_DF, p.F, DF, p.dFdt)
+        # dJ/dt = J·tr(Ḟ F⁻¹)
+        dJdt_n1 = J_n1 * tn.trace(dFdt_n1 @ tn.inv(F_n1))
+        theta_n1_p = eng.g2p(N, theta_n_nodes + dth)
+        dth_dt_p = (eng.g2p(N, dth) - (1.0 - gamma) * dt * p.dpw_dt) / (gamma * dt)
+        cs = con.stress_integration(
+            F_n1=F_n1,
+            DF=DF,
+            dFdt_n1=dFdt_n1,
+            bemi=p.bemi,
+            bemi_zz=p.bemi_zz,
+            eps=p.eps,
+            kappa=p.kappa,
+            back_stress=p.back_stress,
+            mat_id=mix.soil_id[mid],
+            mats=mats,
+            kinds=cfg.kinds,
+        )
+        return DF, F_n1, J_n1, dFdt_n1, dJdt_n1, theta_n1_p, dth_dt_p, cs
+
+    def residual(z):
+        dU = jnp.where(free_u, z[:, :d], dU_dirichlet)
+        dth = jnp.where(free_t, z[:, d], dth_dirichlet)
+        DF, F_n1, J_n1, dFdt_n1, dJdt_n1, theta_n1_p, dth_dt_p, cs = local_state(
+            dU, dth
+        )
+        # --- u rows: mixture equilibrium ---
+        tau_tot = cs.tau - theta_n1_p[:, None, None] * eye
+        dN1 = kin.push_forward_dN(dN, DF)
+        fi = jnp.einsum("pij,pkj->pki", tau_tot * p.vol0[:, None, None], dN1)
+        R_u = eng.p2g(fi) + m_nodes[:, None] * (
+            nm.alpha_1 * dU
+            - nm.alpha_2 * Un_dt
+            - nm.alpha_3 * Un_dt2
+            - body_accel[None, :]
+        )
+        # --- θ rows: mass balance ---
+        rho_f_n1 = rho_f0 * jnp.exp(
+            (theta_n1_p / J_n1 - p.pw0) / jnp.maximum(K_f, 1e-30)
+        )
+        phi_f_n1 = 1.0 - (1.0 - phi_f0) / J_n1
+        rate = (phi_f_n1 * rho_f_n1 / jnp.maximum(K_f, 1e-30)) * dth_dt_p + (
+            rho_f_n1 * dJdt_n1
+        )
+        R_t = eng.p2g(N * (rate * p.vol0)[:, None])
+        # Darcy + fluid-inertia flow terms (−(1/g)·GRAD_A·[...]·V0)
+        th_n1_nodes = theta_n_nodes + dth
+        th_edges = eng.edge_gather(th_n1_nodes[:, None])[..., 0]
+        grad_th = jnp.einsum("pk,pki->pi", th_edges, dN)
+        GRAD_th = jnp.einsum("pji,pj->pi", p.F, grad_th)
+        Finv = tn.inv(F_n1)
+        FkFt = k_perm[:, None, None] * jnp.einsum("pij,pkj->pik", Finv, Finv)
+        flow_vec = jnp.einsum("pij,pj->pi", FkFt, GRAD_th)
+        # acceleration at n+1 gathered from the Newmark relation
+        a_n1_nodes = (
+            nm.alpha_1 * dU - nm.alpha_2 * Un_dt - nm.alpha_3 * Un_dt2
+        )
+        a_n1_p = eng.g2p(N, a_n1_nodes)
+        dyn = a_n1_p - body_accel[None, :]
+        Fk_dyn = k_perm[:, None] * jnp.einsum("pij,pj->pi", Finv, dyn)
+        flow_vec = flow_vec + (J_n1 * rho_f_n1)[:, None] * Fk_dyn
+        GRAD = jnp.einsum("pji,pkj->pki", p.F, dN)
+        R_t = R_t - (1.0 / g) * eng.p2g(
+            jnp.einsum("pki,pi->pk", GRAD, flow_vec) * p.vol0[:, None]
+        )
+        R_u = jnp.where(free_u, R_u, 0.0)
+        R_t = jnp.where(free_t, R_t, 0.0)
+        return jnp.concatenate([R_u, R_t[:, None]], axis=-1)
+
+    # block-diagonal preconditioner
+    from ..models.materials import lame_parameters
+
+    lam_p, G_p = lame_parameters(
+        mats.E[mix.soil_id[mid]], mats.nu[mix.soil_id[mid]]
+    )
+    stiff_scale = (lam_p + 2.0 * G_p) * p.vol0
+    diag_K = eng.p2g(stiff_scale[:, None] * jnp.sum(dN * dN, axis=-1))
+    diag_u = diag_K[:, None] + nm.alpha_1 * m_nodes[:, None]
+    diag_u = jnp.where(free_u, jnp.maximum(diag_u, 1e-30), 1.0)
+    # θ diag: storage/(γΔt) + Darcy stencil
+    darcy_diag = eng.p2g(
+        (k_perm * p.vol0 / jnp.abs(g))[:, None] * jnp.sum(dN * dN, axis=-1)
+    )
+    diag_t = C_nodes / (gamma * dt) + darcy_diag
+    diag_t = jnp.where(free_t, jnp.maximum(diag_t, 1e-30), 1.0)
+
+    def M_inv(r):
+        return jnp.concatenate(
+            [r[:, :d] / diag_u, (r[:, d] / diag_t)[:, None]], axis=-1
+        )
+
+    res = solvers.newton_krylov(
+        residual,
+        jnp.zeros((n_nodes, d + 1), p.x.dtype),
+        M_inv=M_inv,
+        tol=cfg.newton_tol,
+        maxiter=cfg.newton_maxiter,
+        cg_tol=cfg.krylov_tol,
+        cg_maxiter=cfg.krylov_maxiter,
+        linear="gmres",
+    )
+    dU = jnp.where(free_u, res.x[:, :d], dU_dirichlet)
+    dth = jnp.where(free_t, res.x[:, d], dth_dirichlet)
+
+    dU_dt = nm.alpha_4 * dU + (nm.alpha_5 - 1.0) * Un_dt + nm.alpha_6 * Un_dt2
+    dU_dt2 = nm.alpha_1 * dU - nm.alpha_2 * Un_dt - (nm.alpha_3 + 1.0) * Un_dt2
+
+    DF, F_n1, J_n1, dFdt_n1, dJdt_n1, theta_n1_p, dth_dt_p, cs = local_state(
+        dU, dth
+    )
+    rho_f_n1 = rho_f0 * jnp.exp(
+        (theta_n1_p / J_n1 - p.pw0) / jnp.maximum(K_f, 1e-30)
+    )
+    phi_s_n1 = phi_s0 / J_n1
+    phi_f_n1 = 1.0 - (1.0 - phi_f0) / J_n1
+    rho_mix = p.rho_s * phi_s_n1 + rho_f_n1 * phi_f_n1
+
+    a_blend = cfg.alpha_blend
+    dis_inc = eng.g2p(N, dU)
+    dv = eng.g2p(N, dU_dt + (1.0 - a_blend) * Un_dt)
+    da = eng.g2p(N, dU_dt2)
+
+    sel = act[:, None]
+    p_out = p.replace(
+        x=jnp.where(sel, p.x + dis_inc, p.x),
+        dis=jnp.where(sel, p.dis + dis_inc, p.dis),
+        v=jnp.where(sel, a_blend * p.v + dv, p.v),
+        a=jnp.where(sel, p.a + da, p.a),
+        F=F_n1,
+        dFdt=dFdt_n1,
+        J=J_n1,
+        dJdt=dJdt_n1,
+        bemi=cs.bemi,
+        bemi_zz=cs.bemi_zz,
+        stress=cs.tau,
+        stress_zz=cs.tau_zz,
+        eps=cs.eps,
+        kappa=cs.kappa,
+        back_stress=cs.back_stress,
+        W=cs.W,
+        pw=jnp.where(act, theta_n1_p, p.pw),
+        dpw_dt=jnp.where(act, dth_dt_p, p.dpw_dt),
+        rho_f=jnp.where(act, rho_f_n1, p.rho_f),
+        phi_s=jnp.where(act, phi_s_n1, p.phi_s),
+        phi_f=jnp.where(act, phi_f_n1, p.phi_f),
+        rho=jnp.where(act, rho_mix, p.rho),
+        lme_lambda=sf["lam"] if sf["lam"] is not None else p.lme_lambda,
+    )
+    diag = dict(
+        nnz=count_nnz(mask),
+        lost=lost,
+        newton_iters=res.iters,
+        newton_residual=res.residual_norm,
+        converged=res.converged,
+    )
+    return p_out, diag
+
+
 def run(p, grid, mats, mix, cfg, n_steps, body_accel=None,
         pw_dirichlet_mask=None, pw_dirichlet_value=None):
     if body_accel is None:

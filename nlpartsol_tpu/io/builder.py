@@ -104,6 +104,33 @@ class SimulationSetup:
     neumann: list = field(default_factory=list)  # [(particle_ids, dim, curve)]
     out_dir: str = "output"
     out_every: int = 100
+    # formulation: 'u' (single phase), 'up' (mixed u-p), 'upw' (soil-water)
+    formulation: str = "u"
+    mixtures: object = None  # formulations.upw.MixtureTable for -upw
+    pw_dirichlet: list = field(default_factory=list)  # [(node_ids, curve)]
+
+
+def _mixtures(blocks):
+    """Parse Define-Mixture blocks (the reference's soil-water mixture
+    reader, src/InOutFun/Material/NLPS-Read-Material-Mixtures.c:114-224:
+    Soil-Idx, Fluid-Idx, Permeability-Skeleton,
+    Reference-Volume-Fraction-{Soil,Fluid})."""
+    rows = {}
+    for b in find_all(blocks, "Define-Mixture", "GramsMixture"):
+        idx = int(b.attrs.get("idx", b.attrs.get("Id", len(rows))))
+        p = b.props
+        rows[idx] = dict(
+            soil_id=int(p.get("Soil-Idx", 0)),
+            water_id=int(p.get("Fluid-Idx", p.get("Water-Idx", 1))),
+            phi_s0=float(p.get("Reference-Volume-Fraction-Soil", 0.6)),
+            phi_f0=float(p.get("Reference-Volume-Fraction-Fluid", 0.4)),
+            permeability=float(p.get("Permeability-Skeleton", p.get("Permeability", 0.0))),
+        )
+    if not rows:
+        return None
+    from ..formulations.upw import make_mixture_table
+
+    return make_mixture_table([rows[i] for i in sorted(rows)])
 
 
 def _solver_params(blocks) -> SolverParams:
@@ -209,10 +236,16 @@ def build_simulation(path: str) -> SimulationSetup:
     mats = _materials(blocks)
     kinds = mats.kinds_present()
 
-    # --- particles (One-Phase-Analysis) ---
+    # --- particles (One-Phase-Analysis / Soil-Water-Coupling) ---
     ana = find(blocks, "One-Phase-Analysis", "GramsSolid", "GramsSolid2D")
+    formulation = "u"
     if ana is None:
-        raise ValueError("One-Phase-Analysis / GramsSolid block required")
+        ana = find(blocks, "Soil-Water-Coupling-One-Layer", "Soil-Water-Coupling-Analysis")
+        if ana is not None:
+            formulation = "upw"
+    if ana is None:
+        raise ValueError("One-Phase-Analysis / GramsSolid / "
+                         "Soil-Water-Coupling-One-Layer block required")
     pmesh = gid_mesh.read_gid_mesh(os.path.join(base, str(ana.attrs["File"])))
     gpx = int(ana.attrs.get("GPxElement", 1))
     pos, vol = gid_mesh.seed_particles(pmesh, gpx)
@@ -280,6 +313,21 @@ def build_simulation(path: str) -> SimulationSetup:
 
     shp, shp_params = _shapefun(blocks)
 
+    # --- mixtures (soil-water coupling) ---
+    mixtures = _mixtures(blocks)
+    if mixtures is not None and formulation == "u":
+        formulation = "upw"
+    if formulation == "upw":
+        if mixtures is None:
+            raise ValueError("soil-water analysis requires a Define-Mixture block")
+        from ..formulations.upw import init_mixture_state
+
+        particles = init_mixture_state(particles, mats, mixtures)
+        # only the soil kinds drive the effective-stress update
+        kinds = tuple(
+            sorted({int(np.asarray(mats.kind)[i]) for i in np.asarray(mixtures.soil_id)})
+        )
+
     return SimulationSetup(
         solver=sp,
         grid=grid,
@@ -293,4 +341,6 @@ def build_simulation(path: str) -> SimulationSetup:
         neumann=neumann,
         out_dir=out_dir,
         out_every=out_every,
+        formulation=formulation,
+        mixtures=mixtures,
     )

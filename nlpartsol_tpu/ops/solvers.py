@@ -80,6 +80,167 @@ def pcg(
     return CGResult(x=x, iters=it, residual=jnp.sqrt(_vdot(r, r)))
 
 
+def bicgstab(
+    A: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    M_inv: Optional[Callable[[jax.Array], jax.Array]] = None,
+    x0: Optional[jax.Array] = None,
+    tol: float = 1e-7,
+    atol: float = 0.0,
+    maxiter: int = 200,
+) -> CGResult:
+    """Preconditioned BiCGStab for general (nonsymmetric) operators.
+
+    The reference solves its nonsymmetric mixed-formulation tangents with a
+    dense LAPACK LU each Newton iteration (U-pw-Newmark-beta.c:2238-2285,
+    U-p-Newmark-beta.c:1580); this is the matrix-free iterative equivalent
+    (and the stand-in for PETSc's default KSP on nonsymmetric systems).
+    Fixed-shape ``lax.while_loop`` — jit/shard_map friendly.
+    """
+    if M_inv is None:
+        M_inv = lambda r: r
+    x = jnp.zeros_like(b) if x0 is None else x0
+
+    r = b - A(x)
+    r_hat = r  # shadow residual
+    bnorm = jnp.sqrt(_vdot(b, b))
+    threshold = jnp.maximum(tol * bnorm, atol)
+    one = jnp.ones((), b.dtype)
+    rho = one
+    alpha = one
+    omega = one
+    v = jnp.zeros_like(b)
+    p = jnp.zeros_like(b)
+
+    def _safe(x):
+        return jnp.where(x == 0.0, jnp.finfo(b.dtype).tiny, x)
+
+    def cond(state):
+        x, r, p, v, rho, alpha, omega, it = state
+        return (jnp.sqrt(_vdot(r, r)) > threshold) & (it < maxiter)
+
+    def body(state):
+        x, r, p, v, rho, alpha, omega, it = state
+        rho_new = _vdot(r_hat, r)
+        beta = (rho_new / _safe(rho)) * (alpha / _safe(omega))
+        p = r + beta * (p - omega * v)
+        p_hat = M_inv(p)
+        v = A(p_hat)
+        alpha = rho_new / _safe(_vdot(r_hat, v))
+        s = r - alpha * v
+        s_hat = M_inv(s)
+        t = A(s_hat)
+        tt = _vdot(t, t)
+        omega = _vdot(t, s) / _safe(tt)
+        x = x + alpha * p_hat + omega * s_hat
+        r = s - omega * t
+        return (x, r, p, v, rho_new, alpha, omega, it + 1)
+
+    x, r, p, v, rho, alpha, omega, it = jax.lax.while_loop(
+        cond, body, (x, r, p, v, rho, alpha, omega, jnp.array(0))
+    )
+    return CGResult(x=x, iters=it, residual=jnp.sqrt(_vdot(r, r)))
+
+
+def gmres(
+    A: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    M_inv: Optional[Callable[[jax.Array], jax.Array]] = None,
+    x0: Optional[jax.Array] = None,
+    tol: float = 1e-7,
+    atol: float = 0.0,
+    restart: int = 20,
+    max_cycles: int = 10,
+) -> CGResult:
+    """Restarted GMRES(m) with right preconditioning and Givens rotations.
+
+    Matrix-free stand-in for PETSc KSP (``krylov_PETSC``,
+    src/Linear-Solvers/ksp-PETSC.c:5-97) on general operators.  The Arnoldi
+    basis has static size ``restart`` (padded; converged columns are masked),
+    so the whole solver jits with fixed shapes.
+    """
+    if M_inv is None:
+        M_inv = lambda r: r
+    x = jnp.zeros_like(b) if x0 is None else x0
+    shape = b.shape
+    n = b.size
+    m = restart
+    dt = b.dtype
+    bnorm = jnp.sqrt(_vdot(b, b))
+    threshold = jnp.maximum(tol * bnorm, atol)
+
+    def _safe(v):
+        return jnp.where(v == 0.0, jnp.finfo(dt).tiny, v)
+
+    def cycle(x):
+        r = (b - A(x)).reshape(n)
+        beta0 = jnp.sqrt(jnp.sum(r * r))
+        V = jnp.zeros((m + 1, n), dt).at[0].set(r / _safe(beta0))
+        H = jnp.zeros((m + 1, m), dt)
+        cs = jnp.zeros((m,), dt)
+        sn = jnp.zeros((m,), dt)
+        g = jnp.zeros((m + 1,), dt).at[0].set(beta0)
+
+        def arnoldi(j, carry):
+            V, H, cs, sn, g = carry
+            w = A(M_inv(V[j].reshape(shape))).reshape(n)
+            # modified Gram-Schmidt against all m+1 rows (rows > j are zero)
+            h = V @ w  # (m+1,)
+            mask = jnp.arange(m + 1) <= j
+            h = jnp.where(mask, h, 0.0)
+            w = w - h @ V
+            h_next = jnp.sqrt(jnp.sum(w * w))
+            V = V.at[j + 1].set(w / _safe(h_next))
+            col = h.at[j + 1].set(h_next)
+            # apply previous Givens rotations to the new column
+            def rot(i, col):
+                ci, si = cs[i], sn[i]
+                hi, hi1 = col[i], col[i + 1]
+                col = col.at[i].set(ci * hi + si * hi1)
+                col = col.at[i + 1].set(-si * hi + ci * hi1)
+                return col
+
+            col = jax.lax.fori_loop(0, j, rot, col)
+            denom = _safe(jnp.sqrt(col[j] ** 2 + col[j + 1] ** 2))
+            cj = col[j] / denom
+            sj = col[j + 1] / denom
+            col = col.at[j].set(cj * col[j] + sj * col[j + 1]).at[j + 1].set(0.0)
+            cs = cs.at[j].set(cj)
+            sn = sn.at[j].set(sj)
+            g = g.at[j + 1].set(-sj * g[j])
+            g = g.at[j].set(cj * g[j])
+            H = H.at[:, j].set(col)
+            return (V, H, cs, sn, g)
+
+        V, H, cs, sn, g = jax.lax.fori_loop(0, m, arnoldi, (V, H, cs, sn, g))
+        # back-substitution on the (m, m) upper-triangular H (rows may be
+        # zero for breakdown columns; guard the diagonal)
+        R = H[:m, :]
+        y = jnp.zeros((m,), dt)
+
+        def back(i_rev, y):
+            i = m - 1 - i_rev
+            s = g[i] - jnp.sum(R[i] * y)
+            return y.at[i].set(s / _safe(R[i, i]))
+
+        y = jax.lax.fori_loop(0, m, back, y)
+        dx = M_inv((y @ V[:m]).reshape(shape))
+        return x + dx
+
+    def cond(state):
+        x, it = state
+        r = b - A(x)
+        return (jnp.sqrt(_vdot(r, r)) > threshold) & (it < max_cycles)
+
+    def body(state):
+        x, it = state
+        return (cycle(x), it + 1)
+
+    x, it = jax.lax.while_loop(cond, body, (x, jnp.array(0)))
+    r = b - A(x)
+    return CGResult(x=x, iters=it * m, residual=jnp.sqrt(_vdot(r, r)))
+
+
 class NewtonResult(NamedTuple):
     x: jax.Array
     iters: jax.Array
@@ -95,6 +256,7 @@ def newton_krylov(
     maxiter: int = 20,
     cg_tol: float = 1e-7,
     cg_maxiter: int = 100,
+    linear: str = "cg",
 ) -> NewtonResult:
     """Newton's method with matrix-free Jacobian-vector products.
 
@@ -126,7 +288,15 @@ def newton_krylov(
         def Jv(v):
             return jax.jvp(residual, (x,), (v,))[1]
 
-        dx = pcg(Jv, -r, M_inv=M_inv, tol=cg_tol, maxiter=cg_maxiter).x
+        if linear == "bicgstab":
+            dx = bicgstab(Jv, -r, M_inv=M_inv, tol=cg_tol, maxiter=cg_maxiter).x
+        elif linear == "gmres":
+            dx = gmres(
+                Jv, -r, M_inv=M_inv, tol=cg_tol,
+                max_cycles=max(1, cg_maxiter // 20),
+            ).x
+        else:
+            dx = pcg(Jv, -r, M_inv=M_inv, tol=cg_tol, maxiter=cg_maxiter).x
 
         # Backtracking line search (the reference's SNESNEWTONLS,
         # U-Newmark-beta.c:281): evaluate a fixed candidate set and keep the

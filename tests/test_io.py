@@ -221,3 +221,78 @@ def test_path_recorder(tmp_path):
     lines = open(out).read().strip().splitlines()
     assert lines[0].startswith("t,p0.x.x")
     assert len(lines) == 3
+
+
+@pytest.fixture
+def upw_case(tmp_path):
+    """Soil-water coupling .nlp case (Generate_Soil_Water_Coupling_Analysis
+    analog: Soil-Water-Coupling-One-Layer + Define-Mixture blocks)."""
+    write_gid_quad_mesh(tmp_path / "bg.msh", 2, 8, 0.1)
+    write_gid_quad_mesh(tmp_path / "body.msh", 2, 8, 0.1)
+    ny1, nx1 = 9, 3
+    bottom = [j * ny1 + 1 for j in range(nx1)]
+    allnodes = list(range(1, nx1 * ny1 + 1))
+    (tmp_path / "bottom.txt").write_text("\n".join(map(str, bottom)))
+    (tmp_path / "all.txt").write_text("\n".join(map(str, allnodes)))
+    (tmp_path / "zero.txt").write_text("CONSTANT_CURVE SCALE#0.0\n")
+    (tmp_path / "grav.txt").write_text("CONSTANT_CURVE SCALE#-9.81\n")
+    (tmp_path / "sim.nlp").write_text(textwrap.dedent("""
+    NLPS-Solver (Type=NPC-FS) {
+        CFL=0.1
+        Cel=2400.0
+        N=10
+    }
+    GramsBox (Type=GID, File=bg.msh) {
+        GramsBoundary (File=bottom.txt) {
+            BcDirichlet V.y zero.txt
+        }
+        GramsBoundary (File=all.txt) {
+            BcDirichlet V.x zero.txt
+            BcDirichlet V.y NULL
+        }
+    }
+    GramsShapeFun (Type=FEM) {
+    }
+    Define-Material (idx=0, Model=Neo-Hookean-Wriggers) {
+        E=1e7
+        nu=0.3
+        rho=2700
+    }
+    Define-Material (idx=1, Model=Newtonian-Fluid-Compressible) {
+        rho=1000
+        Compressibility=2.2e9
+    }
+    Define-Mixture (idx=0) {
+        Soil-Idx=0
+        Fluid-Idx=1
+        Permeability-Skeleton=1e-5
+        Reference-Volume-Fraction-Soil=0.6
+        Reference-Volume-Fraction-Fluid=0.4
+    }
+    Soil-Water-Coupling-One-Layer (File=body.msh, GPxElement=4) {
+    }
+    GramsBodyForces {
+        g.y=-9.81
+    }
+    GramsOutputs (i=100) {
+        DIR=out
+    }
+    """))
+    return tmp_path
+
+
+def test_builder_detects_upw_formulation(upw_case):
+    setup = build_simulation(str(upw_case / "sim.nlp"))
+    assert setup.formulation == "upw"
+    assert setup.mixtures is not None
+    # mixture state initialised: ρ_mix = 2700·0.6 + 1000·0.4
+    np.testing.assert_allclose(np.asarray(setup.particles.rho), 2020.0, rtol=1e-5)
+
+
+def test_cli_runs_upw(upw_case, monkeypatch):
+    from nlpartsol_tpu.cli import main
+
+    monkeypatch.chdir(upw_case)
+    rc = main(["--FORMULATION-Upw", "-f", str(upw_case / "sim.nlp"),
+               "--steps", "3", "--no-output"])
+    assert rc == 0

@@ -137,3 +137,82 @@ def test_upw_incompressible_limit_total_stress():
     assert bulk.sum() > 0
     err = np.abs(s_total[bulk] - s_ref[bulk]).max() / (rho_mix * 9.81 * H)
     assert err < 0.30, f"time-averaged total stress error {err:.2f}"
+
+
+def test_upw_implicit_matches_explicit():
+    """Implicit monolithic Newmark vs explicit Verlet on the gravity-loaded
+    column: after the same physical time the pore-pressure and displacement
+    fields must agree (cross-integrator oracle; the reference has no
+    published numbers)."""
+    from nlpartsol_tpu.formulations.upw import UpwImplicitConfig, upw_newmark_step
+
+    grid, p0, mats, mix, h, H = column_setup()
+    cel = mixture_celerity(p0, 0.4)
+    dt_exp = 0.25 * h / cel
+    n_exp = 80
+    T = n_exp * dt_exp
+
+    body = jnp.asarray([0.0, -9.81], jnp.float32)
+    cfg_e = UpwConfig(dt=dt_exp, shapefun="fem", kinds=(M.NEO_HOOKEAN,))
+    step_e = jax.jit(upw_step, static_argnums=(4,))
+    pe = p0
+    for _ in range(n_exp):
+        pe, _ = step_e(pe, grid, mats, mix, cfg_e, body)
+
+    n_imp = 20
+    cfg_i = UpwImplicitConfig(dt=T / n_imp, shapefun="fem", kinds=(M.NEO_HOOKEAN,))
+    step_i = jax.jit(upw_newmark_step, static_argnums=(4,))
+    pi = p0
+    iters = []
+    for _ in range(n_imp):
+        pi, diag = step_i(pi, grid, mats, mix, cfg_i, body)
+        iters.append(int(diag["newton_iters"]))
+    assert max(iters) <= 20
+
+    # displacement comparison
+    ue = np.asarray(pe.dis)[:, 1]
+    ui = np.asarray(pi.dis)[:, 1]
+    scale = max(np.abs(ue).max(), 1e-12)
+    err_u = np.abs(ui - ue).max() / scale
+    assert err_u < 0.35, f"implicit vs explicit displacement mismatch {err_u:.3f}"
+    # both build compressive pore pressure increasing with depth
+    pwi = np.asarray(pi.pw)
+    y = np.asarray(pi.x)[:, 1]
+    assert pwi[y < 0.3 * H].mean() > 0
+    assert pwi[y < 0.3 * H].mean() > pwi[y > 0.7 * H].mean()
+
+
+def test_upw_implicit_drained_pressure_decays():
+    """Open drainage at the top (θ = 0 Dirichlet) with nonzero permeability:
+    pore pressure must decay toward the drained state (consolidation)."""
+    from nlpartsol_tpu.formulations.upw import UpwImplicitConfig, upw_newmark_step
+
+    grid, p0, mats, mix, h, H = column_setup(ny=6)
+    mix = make_mixture_table(
+        [dict(soil_id=0, water_id=1, phi_s0=0.6, phi_f0=0.4, permeability=1e-3)]
+    )
+    dims = grid.dims
+    n_nodes = dims[0] * dims[1]
+    ids = np.arange(n_nodes).reshape(dims)
+    pw_mask = np.zeros((n_nodes,), bool)
+    pw_mask[ids[:, -1]] = True  # top row drained
+    pw_mask = jnp.asarray(pw_mask)
+    pw_val = jnp.zeros((n_nodes,), jnp.float32)
+
+    # consolidation timescale: c_v = k·E_oed/γ_w ≈ 1.4 m²/s, t_c = H²/c_v
+    # ≈ 0.26 s — step well past the wave timescale (implicit: unconditionally
+    # stable) and run ~1.5·t_c
+    body = jnp.asarray([0.0, -9.81], jnp.float32)
+    cfg = UpwImplicitConfig(dt=0.01, shapefun="fem", kinds=(M.NEO_HOOKEAN,))
+    step = jax.jit(upw_newmark_step, static_argnums=(4,))
+    pi = p0
+    peak, final = None, None
+    for i in range(40):
+        pi, diag = step(pi, grid, mats, mix, cfg, body, pw_mask, pw_val)
+        mean_pw = float(np.asarray(pi.pw).mean())
+        if i == 0:
+            peak = mean_pw
+        final = mean_pw
+    assert np.isfinite(final)
+    assert peak is not None and peak > 0
+    assert final < 0.8 * peak, f"pore pressure did not consolidate: {peak} -> {final}"
