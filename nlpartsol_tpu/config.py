@@ -47,6 +47,14 @@ def index_dtype() -> jnp.dtype:
 if _DTYPE_NAME == "float64":  # honour env var at import
     jax.config.update("jax_enable_x64", True)
 
+# On TPU, float32 matmuls/einsums default to bfloat16 MXU passes (~3 decimal
+# digits).  The MPM kinematics update F_{n+1} = (I + ∇du)·F_n where ∇du is
+# O(1e-4): in bf16 the product rounds straight back to F_n and the solver
+# silently computes rigid motion.  Pin full-precision accumulation for every
+# dot/einsum; hot kernels that can tolerate lower precision must opt in
+# explicitly (jax.default_matmul_precision context).
+jax.config.update("jax_default_matmul_precision", "highest")
+
 # Numerical tolerances mirroring the reference's gates
 # (/root/reference/nl-partsol/src/Macros.h:40 TOL_NR = 1e-5;
 #  src/Globals.h:57 TOL_Radial_Returning; src/Nodes/LME.c rcond guard 1e-8).
