@@ -47,11 +47,11 @@ def cell_patch_jacobian(box, J_n, J_n1, vol0, active):
     (reference patch volumes, U-Newmark-beta.c:1146-1195; here the windowed
     slot layout makes the cell the natural patch)."""
     nc = box.n_cells
-    vn = (jnp.where(active, J_n * vol0, 0.0)).reshape(nc, box.capacity).sum(-1)
-    vn1 = (jnp.where(active, J_n1 * vol0, 0.0)).reshape(nc, box.capacity).sum(-1)
+    vn = (jnp.where(active, J_n * vol0, 0.0)).reshape(box.capacity, nc).sum(0)
+    vn1 = (jnp.where(active, J_n1 * vol0, 0.0)).reshape(box.capacity, nc).sum(0)
     ratio = vn1 / jnp.maximum(vn, 1e-30)
     ratio = jnp.where(vn > 0, ratio, 1.0)
-    return jnp.repeat(ratio, box.capacity, total_repeat_length=nc * box.capacity)
+    return jnp.tile(ratio, box.capacity)
 
 
 def fbar_deformation_gradient(F_n1, J_n1, DJ_patch, alpha_fbar):

@@ -69,10 +69,17 @@ def _neighbor_pair_sums(
     d = grid.dim
     C = box.capacity
     cshape = tuple(box.cdims)
-    xs = x_slots.reshape(cshape + (C, d))
-    vmask = valid.reshape(cshape + (C,))
-    rad = radius.reshape(cshape + (C,))
-    vals = {k: v.reshape(cshape + (C,)) for k, v in values.items()}
+    nd = len(cshape)
+
+    def to_cellmajor(a, extra=()):
+        # capacity-major slots (C, cells…) → internal (cells…, C) view
+        v = a.reshape((C,) + cshape + extra)
+        return jnp.moveaxis(v, 0, nd)
+
+    xs = to_cellmajor(x_slots, (d,))
+    vmask = to_cellmajor(valid)
+    rad = to_cellmajor(radius)
+    vals = {k: to_cellmajor(v) for k, v in values.items()}
 
     out = {k: jnp.zeros(cshape + (C,), x_slots.dtype) for k in values}
 
@@ -103,7 +110,10 @@ def _neighbor_pair_sums(
             out[k] = out[k] + jnp.sum(
                 jnp.where(within, vq_k[..., None, :], 0.0), axis=-1
             )
-    return {k: v.reshape(-1) for k, v in out.items()}
+    # internal (cells…, C) view → capacity-major flat slots
+    return {
+        k: jnp.moveaxis(v, nd, 0).reshape(-1) for k, v in out.items()
+    }
 
 
 def beps_reach(Ceps: float) -> int:

@@ -119,8 +119,8 @@ def assemble(
             "silm,sjm->sjil", H[:, i], jnp.where(m2[:, :, :, 0], dN, 0.0)
         )  # (Ns, K, d, d)
         Bi = jnp.where(m2[:, i : i + 1] & m2, Bi, 0.0)
-        per_cell = Bi.reshape(box.cdims + (box.capacity, K, d, d)).sum(
-            axis=len(box.cdims)
+        per_cell = Bi.reshape((box.capacity,) + box.cdims + (K, d, d)).sum(
+            axis=0
         )  # (cells…, K, d, d)
         sl = _node_slices(box, grid.dims, offsets[i])
         if sl is None:

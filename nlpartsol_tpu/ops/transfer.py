@@ -72,7 +72,8 @@ class WindowedEngine:
         K = self.offsets.shape[0]
         c = per_cell.shape[-1]
         # every slot in a cell sees the same K node values: broadcast over C
+        # (capacity-major slots: leading C axis)
         out = jnp.broadcast_to(
-            per_cell.reshape((nc, 1, K, c)), (nc, box.capacity, K, c)
+            per_cell.reshape((1, nc, K, c)), (box.capacity, nc, K, c)
         ).reshape(box.n_slots, K, c)
         return jnp.where(self.mask[..., None], out, 0.0)

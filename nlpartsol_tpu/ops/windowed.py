@@ -11,6 +11,11 @@ transfers can be reorganised as dense operations:
    ``capacity`` C over a static ``ActiveBox`` of cells (sort by cell id +
    rank-within-cell; one Np-sized scatter builds the slot table).  Particle
    state then lives in slot layout: arrays of static size Ns = Ncells·C.
+   Slots are **capacity-major**: ``slot = rank·n_cells + cell`` — a slot
+   array viewed as (C, cells…) puts the large cell axis last, which is the
+   TPU-friendly layout (cells ride the 128-wide lane dimension both in XLA
+   and in the fused Pallas kernels; capacity C pads only the 8-sublane
+   axis).
 2. **P2G**: per-edge values (Ns, K, c) → reshape (cells…, C, K, c) → sum
    over C → for each static window offset k, a *static-slice* dense add
    into the node array.  Zero scatters.
@@ -95,10 +100,11 @@ class Binning:
 
 
 def slot_cells(box: ActiveBox) -> np.ndarray:
-    """(Ns, d) integer cell multi-index (grid frame) of every slot — static."""
+    """(Ns, d) integer cell multi-index (grid frame) of every slot — static.
+    Capacity-major: slot = rank·n_cells + cell."""
     idx = np.indices(box.cdims).reshape(len(box.cdims), -1).T  # (Nc, d)
     idx = idx + np.asarray(box.offset)
-    return np.repeat(idx, box.capacity, axis=0).astype(np.int32)
+    return np.tile(idx, (box.capacity, 1)).astype(np.int32)
 
 
 def bin_particles(grid: Grid, box: ActiveBox, x: jax.Array, active: jax.Array) -> Binning:
@@ -118,7 +124,7 @@ def bin_particles(grid: Grid, box: ActiveBox, x: jax.Array, active: jax.Array) -
     first = jnp.searchsorted(s, s, side="left")
     rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
     keep = (s < box.n_cells) & (rank < box.capacity)
-    slots = jnp.where(keep, s * box.capacity + rank, box.n_slots)
+    slots = jnp.where(keep, rank * box.n_cells + s, box.n_slots)
 
     slot_particle = jnp.full((box.n_slots,), n, jnp.int32)
     slot_particle = slot_particle.at[slots].set(
@@ -169,7 +175,7 @@ def p2g(
         vals = vals[..., None]
     c = vals.shape[-1]
     K = vals.shape[1]
-    per_cell = vals.reshape(box.cdims + (box.capacity, K, c)).sum(axis=len(box.cdims))
+    per_cell = vals.reshape((box.capacity,) + box.cdims + (K, c)).sum(axis=0)
     out = jnp.zeros(tuple(grid.dims) + (c,), vals.dtype)
     for k in range(K):
         sl = _node_slices(box, grid.dims, offsets[k])
@@ -231,7 +237,7 @@ def g2p(
     nc = box.n_cells
     K = weights.shape[1]
     c = per_cell.shape[-1]
-    w = weights.reshape((nc, box.capacity, K))
+    w = weights.reshape((box.capacity, nc, K))
     pc = per_cell.reshape((nc, K, c))
-    out = jnp.einsum("nsk,nkc->nsc", w, pc).reshape(box.n_slots, c)
+    out = jnp.einsum("snk,nkc->snc", w, pc).reshape(box.n_slots, c)
     return out[:, 0] if scalar else out
