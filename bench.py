@@ -80,13 +80,16 @@ def main():
         cdims=(n_side // 2 + 4,) * 2,
         capacity=6,
     )
+    transfer = os.environ.get("BENCH_TRANSFER", "pallas")
     cfg = ExplicitConfig(
         dt=0.25 * h / cel,
         shapefun="lme",
         lme_params=lme.LMEParams(gamma=3.0),
         kinds=(M.NEO_HOOKEAN,),
-        transfer="windowed",
+        transfer=transfer,
         active_box=box,
+        # CFL 0.25 ⇒ ≤ 1 cell of drift over 4 steps (kernel margin covers it)
+        rebin_every=4 if transfer == "pallas" else 1,
     )
     body = jnp.zeros((2,), jnp.float32)
 
@@ -95,12 +98,13 @@ def main():
     p = to_slot_layout(p, grid, box)
 
     def many_steps(p):
-        def bd(carry, _):
+        def bd(carry, i):
             pp = carry
-            pp, diag = explicit_step(pp, grid, mats, cfg, body)
+            rebin = (i % cfg.rebin_every) == 0 if cfg.rebin_every > 1 else None
+            pp, diag = explicit_step(pp, grid, mats, cfg, body, rebin=rebin)
             return pp, diag["nnz"]
 
-        return jax.lax.scan(bd, p, None, length=n_steps)
+        return jax.lax.scan(bd, p, jnp.arange(n_steps), length=n_steps)
 
     fn = jax.jit(many_steps)
     # warmup + compile

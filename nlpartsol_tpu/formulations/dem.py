@@ -160,7 +160,7 @@ def dem_step(
         v_mid = 0.5 * (Vn + V)
         dU = dt * v_mid
         grad_du = kin.disp_gradient(eng.edge_gather(dU), dN)
-        F_n1 = (grad_du + eye) @ p.F
+        F_n1 = tn.bmm(grad_du + eye, p.F)
         P_star = discrete_gradient_PK1(F_n1)
         fi = jnp.einsum(
             "pij,pkj->pki", P_star * p.vol0[:, None, None], GRAD
@@ -194,7 +194,7 @@ def dem_step(
 
     grad_du = kin.disp_gradient(eng.edge_gather(dU), dN)
     DF = grad_du + eye
-    F_n1 = DF @ p.F
+    F_n1 = tn.bmm(DF, p.F)
     J_n1 = tn.det(F_n1)
     J_n1 = jnp.where(J_n1 > 0.0, J_n1, 0.0)
     # end-of-step stress/state from the standard constitutive update (the

@@ -63,6 +63,11 @@ class ExplicitConfig:
     # shard_map axis over which particles are sharded (grid replicated);
     # None = single device
     axis_name: str = struct.field(pytree_node=False, default=None)
+    # pallas transfer: re-bin particles to cells every k-th step only.  The
+    # kernel window widens by a 1-cell drift margin, so correctness needs
+    # max drift ≤ 1 cell between re-binnings: rebin_every ≤ 1/CFL.  Kills
+    # the per-step argsort+permute (the profiled top cost at large Np).
+    rebin_every: int = struct.field(pytree_node=False, default=1)
 
 
 from .common import make_engine, shapefun_eval
@@ -76,8 +81,13 @@ def explicit_step(
     body_accel: jax.Array,  # (d,) gravity/body acceleration this step
     traction: Optional[jax.Array] = None,  # (Np, d) nominal traction t̄
     traction_area: Optional[jax.Array] = None,  # (Np,) reference area A0_p
+    rebin: Optional[jax.Array] = None,  # traced bool: re-bin this step
 ):
     """One explicit step.  Returns (particles_{n+1}, diagnostics)."""
+    if cfg.transfer == "pallas":
+        return _explicit_step_pallas(
+            p, grid, mats, cfg, body_accel, traction, traction_area, rebin
+        )
     dt = cfg.dt
     gamma = cfg.gamma
     n_nodes = grid.n_nodes
@@ -118,7 +128,7 @@ def explicit_step(
     # --- local compatibility: ΔF, F_{n+1}, J ---
     du_edges = eng.edge_gather(d_dis_nodes)
     DF = kin.incremental_deformation_gradient(du_edges, dN)
-    F_n1 = DF @ p.F
+    F_n1 = tn.bmm(DF, p.F)
     J_n1 = tn.det(F_n1)
     J_n1 = jnp.where(J_n1 > 0.0, J_n1, 0.0)  # negative-J clamp (U-Newmark-beta.c:1137)
     d = p.dim
@@ -135,7 +145,7 @@ def explicit_step(
         F_n1 = kin.fbar_deformation_gradient(F_n1, J_n1, J_patch * p.J, alpha_fb)
         J_n1 = tn.det(F_n1)
         J_n1 = jnp.where(J_n1 > 0.0, J_n1, 0.0)
-        DF = F_n1 @ tn.inv(jnp.where((p.J > 0)[:, None, None], p.F, jnp.eye(d, dtype=F_n1.dtype)))
+        DF = tn.bmm(F_n1, tn.inv(jnp.where((p.J > 0)[:, None, None], p.F, jnp.eye(d, dtype=F_n1.dtype))))
     dt_DF = (DF - jnp.eye(d, dtype=DF.dtype)) / dt
     dFdt_n1 = kin.rate_deformation_gradient_n1(dt_DF, p.F, DF, p.dFdt)
 
@@ -270,6 +280,201 @@ def explicit_step(
     return p_out, diag
 
 
+def _explicit_step_pallas(
+    p: Particles,
+    grid: Grid,
+    mats: MaterialTable,
+    cfg: ExplicitConfig,
+    body_accel: jax.Array,
+    traction: Optional[jax.Array] = None,
+    traction_area: Optional[jax.Array] = None,
+    rebin: Optional[jax.Array] = None,
+):
+    """Fused-Pallas variant of the explicit step (2D LME; TPU production
+    path).  Physics identical to the windowed path; the particle↔grid
+    transfers run through ops/pallas_transfer.py so no (Ns, K, ·) edge
+    tensor ever hits HBM."""
+    from ..ops import pallas_transfer as pt
+
+    if cfg.shapefun != "lme":
+        raise ValueError("pallas transfer currently implements LME only")
+    if grid.dim != 2:
+        raise ValueError("pallas transfer is 2D; use transfer='windowed' for 3D")
+    box = cfg.active_box
+    dt, gamma, d = cfg.dt, cfg.gamma, p.dim
+    C, nc = box.capacity, box.n_cells
+    margin = 0 if cfg.rebin_every == 1 else 1
+
+    if cfg.rebin_every > 1 and rebin is not None:
+        if traction is not None:
+            raise ValueError("tractions require rebin_every=1")
+
+        def _do_rebin(pp):
+            b = windowed.bin_particles(grid, box, pp.x, pp.active)
+            return windowed.permute_to_slots(pp, b), b.lost
+
+        p, lost = jax.lax.cond(
+            rebin, _do_rebin, lambda pp: (pp, jnp.zeros((), jnp.int32)), p
+        )
+    else:
+        binning = windowed.bin_particles(grid, box, p.x, p.active)
+        if traction is not None:
+            idx = jnp.minimum(binning.slot_particle, traction.shape[0] - 1)
+            traction = jnp.where(binning.valid[:, None], traction[idx], 0.0)
+            traction_area = jnp.where(binning.valid, traction_area[idx], 0.0)
+        p = windowed.permute_to_slots(p, binning)
+        lost = binning.lost
+    act = p.active
+
+    x_t = pt.to_channel_leading(p.x, C, nc)
+    lam_t = pt.to_channel_leading(p.lme_lambda, C, nc)
+    act_t = pt.to_channel_leading(act.astype(p.x.dtype), C, nc)
+
+    # --- scatter #1 (solves λ): lumped mass + momentum increment [+ traction]
+    d_dis_p = dt * p.v + 0.5 * dt * dt * p.a
+    v_pred = p.v + (1.0 - gamma) * dt * p.a
+    chans = [p.mass, p.mass * d_dis_p[:, 0], p.mass * d_dis_p[:, 1]]
+    if traction is not None:
+        chans += [traction_area * traction[:, 0], traction_area * traction[:, 1]]
+    fN = jnp.stack([pt.to_channel_leading(c, C, nc)[0] for c in chans])
+    nodes1, lam_new, nnz = pt.fused_scatter(
+        grid, box, cfg.lme_params, x_t, lam_t, act_t, fN, solve=True,
+        margin=margin,
+    )
+    m_nodes = nodes1[:, 0]
+    m_safe = jnp.maximum(m_nodes, cfg.mass_tol)[:, None]
+    d_dis_nodes = nodes1[:, 1:3] / m_safe
+    traction_forces = nodes1[:, 3:5] if traction is not None else None
+
+    if grid.dirichlet_mask is not None:
+        d_dis_nodes = jnp.where(grid.dirichlet_mask, grid.dirichlet_value, d_dis_nodes)
+
+    # --- gather #1: smoothed Δu + displacement gradient (→ ΔF) ---
+    d_dis_smooth, grad_du = pt.fused_gather(
+        grid, box, cfg.lme_params, x_t, lam_new, act_t,
+        gN=d_dis_nodes, g_grad=d_dis_nodes, margin=margin,
+    )
+    DF = grad_du + jnp.eye(d, dtype=grad_du.dtype)
+    F_n1 = tn.bmm(DF, p.F)
+    J_n1 = tn.det(F_n1)
+    J_n1 = jnp.where(J_n1 > 0.0, J_n1, 0.0)
+    if cfg.fbar:
+        J_patch = kin.cell_patch_jacobian(box, p.J, J_n1, p.vol0, act)
+        alpha_fb = mats.alpha_fbar[p.mat_id]
+        F_n1 = kin.fbar_deformation_gradient(F_n1, J_n1, J_patch * p.J, alpha_fb)
+        J_n1 = tn.det(F_n1)
+        J_n1 = jnp.where(J_n1 > 0.0, J_n1, 0.0)
+        DF = tn.bmm(F_n1, tn.inv(
+            jnp.where((p.J > 0)[:, None, None], p.F, jnp.eye(d, dtype=F_n1.dtype))
+        ))
+    dt_DF = (DF - jnp.eye(d, dtype=DF.dtype)) / dt
+    dFdt_n1 = kin.rate_deformation_gradient_n1(dt_DF, p.F, DF, p.dFdt)
+
+    cs = con.stress_integration(
+        F_n1=F_n1,
+        DF=DF,
+        dFdt_n1=dFdt_n1,
+        bemi=p.bemi,
+        bemi_zz=p.bemi_zz,
+        eps=p.eps,
+        kappa=p.kappa,
+        back_stress=p.back_stress,
+        mat_id=p.mat_id,
+        mats=mats,
+        kinds=cfg.kinds,
+    )
+    damage_n1 = p.damage
+    strain_f_n1 = p.strain_f
+    if cfg.damage is not None:
+        if cfg.damage == "eigenerosion":
+            dout = fracture.eigenerosion(
+                grid, box, x=p.x, active=act, damage_n=p.damage, W=cs.W,
+                J_n1=J_n1, vol0=p.vol0, stress=cs.tau, stress_zz=cs.tau_zz,
+                Ceps=mats.Ceps[p.mat_id], Gf=mats.Gf[p.mat_id],
+                reach=cfg.beps_reach,
+            )
+        elif cfg.damage == "eigensoftening":
+            dout = fracture.eigensoftening(
+                grid, box, x=p.x, active=act, damage_n=p.damage,
+                strain_f_n=p.strain_f, mass=p.mass, F_n1=F_n1, stress=cs.tau,
+                stress_zz=cs.tau_zz, ft=mats.ft[p.mat_id],
+                heps=mats.heps[p.mat_id], wcrit=mats.wcrit[p.mat_id],
+                Ceps=mats.Ceps[p.mat_id], reach=cfg.beps_reach,
+            )
+        else:
+            raise ValueError(f"unknown damage driver {cfg.damage}")
+        damage_n1 = dout.damage
+        strain_f_n1 = dout.strain_f
+    tau_eff = cs.tau * (1.0 - damage_n1)[:, None, None]
+
+    # --- scatter #2: internal forces f_A = −Σ V0·τ·∇N¹ = Σ G·∇N with
+    # G = −V0·τ_eff·DF⁻ᵀ (push-forward folded into the matrix) ---
+    G = -tn.bmm(tau_eff * p.vol0[:, None, None], tn.inv_transpose(DF))
+    G_t = pt.to_channel_leading(G.reshape(-1, 4), C, nc)
+    dummy = pt.to_channel_leading(jnp.zeros_like(p.mass), C, nc)
+    nodes2, _, _ = pt.fused_scatter(
+        grid, box, cfg.lme_params, x_t, lam_new, act_t, dummy, G_t=G_t,
+        solve=False, margin=margin,
+    )
+    forces = nodes2[:, 1:3]
+    if traction_forces is not None:
+        forces = forces + traction_forces
+
+    accel_nodes = body_accel[None, :] + forces / m_safe
+    if grid.dirichlet_mask is not None:
+        reactions = jnp.where(grid.dirichlet_mask, forces, 0.0)
+        accel_nodes = jnp.where(grid.dirichlet_mask, 0.0, accel_nodes)
+    else:
+        reactions = jnp.zeros_like(forces)
+
+    # --- gather #2: accelerations ---
+    a_p, _ = pt.fused_gather(
+        grid, box, cfg.lme_params, x_t, lam_new, act_t, gN=accel_nodes,
+        margin=margin,
+    )
+    v_new = v_pred + gamma * dt * a_p
+    x_new = p.x + d_dis_smooth
+    rho_new = p.mass / (p.vol0 * jnp.maximum(J_n1, 1e-12))
+
+    sel = act[:, None]
+    p_out = p.replace(
+        x=jnp.where(sel, x_new, p.x),
+        v=jnp.where(sel, v_new, p.v),
+        a=jnp.where(sel, a_p, p.a),
+        dis=p.dis + jnp.where(sel, d_dis_smooth, 0.0),
+        rho=rho_new,
+        F=F_n1,
+        dFdt=dFdt_n1,
+        J=J_n1,
+        bemi=cs.bemi,
+        bemi_zz=cs.bemi_zz,
+        stress=cs.tau,
+        stress_zz=cs.tau_zz,
+        eps=cs.eps,
+        kappa=cs.kappa,
+        back_stress=cs.back_stress,
+        W=cs.W,
+        damage=damage_n1,
+        strain_f=strain_f_n1,
+        lme_lambda=pt.from_channel_leading(lam_new),
+    )
+    ke = 0.5 * jnp.sum(p.mass[:, None] * v_new * v_new, where=act[:, None])
+    se = jnp.sum(cs.W * p.vol0, where=act)
+    if cfg.axis_name is not None:
+        nnz = jax.lax.psum(nnz, cfg.axis_name)
+        ke = jax.lax.psum(ke, cfg.axis_name)
+        se = jax.lax.psum(se, cfg.axis_name)
+        lost = jax.lax.psum(lost, cfg.axis_name)
+    diag = dict(
+        nnz=nnz,
+        reactions=reactions,
+        kinetic_energy=ke,
+        strain_energy=se,
+        lost=lost,
+    )
+    return p_out, diag
+
+
 def to_slot_layout(p: Particles, grid: Grid, box: windowed.ActiveBox) -> Particles:
     """Convert an arbitrary particle set to windowed slot layout (do once
     before a windowed run so the scan carry shape is invariant)."""
@@ -289,13 +494,16 @@ def run(
     d = p.dim
     if body_accel is None:
         body_accel = jnp.zeros((d,), p.x.dtype)
-    if cfg.transfer == "windowed":
+    if cfg.transfer in ("windowed", "pallas"):
         p = to_slot_layout(p, grid, cfg.active_box)
 
-    def body(carry, _):
+    def body(carry, i):
         pp = carry
-        pp, diag = explicit_step(pp, grid, mats, cfg, body_accel)
+        rebin = (i % cfg.rebin_every) == 0 if cfg.rebin_every > 1 else None
+        pp, diag = explicit_step(pp, grid, mats, cfg, body_accel, rebin=rebin)
         return pp, (diag["kinetic_energy"], diag["strain_energy"], diag["nnz"])
 
-    p_final, (ke, se, nnz) = jax.lax.scan(body, p, None, length=n_steps)
+    p_final, (ke, se, nnz) = jax.lax.scan(
+        body, p, jnp.arange(n_steps), length=n_steps
+    )
     return p_final, dict(kinetic_energy=ke, strain_energy=se, nnz=nnz)

@@ -178,7 +178,7 @@ def implicit_step(
         the current Newton iterate (does NOT mutate particle state — the
         reference recomputes per residual call the same way, :1064-1256)."""
         DF = grad_du + jnp.eye(d, dtype=grad_du.dtype)
-        F_n1 = DF @ p.F
+        F_n1 = tn.bmm(DF, p.F)
         dt_DF = nm.alpha_4 * grad_du + grad_vel_const
         dFdt_n1 = kin.rate_deformation_gradient_n1(dt_DF, p.F, DF, p.dFdt)
         cs = con.stress_integration(
@@ -366,7 +366,7 @@ def assemble_tangent(
 
     def fi_of_grad(grad_du):
         DF = grad_du + jnp.eye(d, dtype=grad_du.dtype)
-        F_n1 = DF @ p.F
+        F_n1 = tn.bmm(DF, p.F)
         dt_DF = nm.alpha_4 * grad_du + grad_vel_const
         dFdt_n1 = kin.rate_deformation_gradient_n1(dt_DF, p.F, DF, p.dFdt)
         cs = con.stress_integration(

@@ -79,7 +79,7 @@ def forward_euler_step(
     v_edges = eng.edge_gather(v_nodes)
     grad_v = kin.disp_gradient(v_edges, dN)
     DF = dt * grad_v + jnp.eye(d, dtype=grad_v.dtype)
-    F_n1 = DF @ p.F
+    F_n1 = tn.bmm(DF, p.F)
     J_n1 = tn.det(F_n1)
     J_n1 = jnp.where(J_n1 > 0.0, J_n1, 0.0)
     dFdt_n1 = kin.rate_deformation_gradient_n1(grad_v, p.F, DF, p.dFdt)
@@ -175,7 +175,7 @@ def generalized_alpha_step(
     v_edges = eng.edge_gather(v_nodes)
     grad_v = kin.disp_gradient(v_edges, dN)
     DF = dt * grad_v + jnp.eye(d, dtype=grad_v.dtype)
-    F_n1 = DF @ p.F
+    F_n1 = tn.bmm(DF, p.F)
     J_n1 = jnp.maximum(tn.det(F_n1), 0.0)
     dFdt_n1 = kin.rate_deformation_gradient_n1(grad_v, p.F, DF, p.dFdt)
 

@@ -29,7 +29,7 @@ def incremental_deformation_gradient(du_edges, dN) -> jax.Array:
 
 def rate_deformation_gradient_n1(dt_DF, F_n, DF, dFdt_n):
     """Ḟ_{n+1} = (dΔF/dt)·F_n + ΔF·Ḟ_n (compute-Strains.c:176-209)."""
-    return dt_DF @ F_n + DF @ dFdt_n
+    return tn.bmm(dt_DF, F_n) + tn.bmm(DF, dFdt_n)
 
 
 def push_forward_dN(dN, DF):

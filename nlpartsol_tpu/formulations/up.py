@@ -147,7 +147,7 @@ def up_step(
     def local_state(dU, dlam):
         grad_du = kin.disp_gradient(eng.edge_gather(dU), dN)
         DF = grad_du + jnp.eye(d, dtype=grad_du.dtype)
-        F_n1 = DF @ p.F
+        F_n1 = tn.bmm(DF, p.F)
         dt_DF = nm.alpha_4 * grad_du + grad_vel_const
         dFdt_n1 = kin.rate_deformation_gradient_n1(dt_DF, p.F, DF, p.dFdt)
         lam_n1 = p.pw + eng.g2p(N, dlam)  # λ_{n+1} per particle (:700-704)

@@ -175,7 +175,7 @@ def upw_step(
     # --- local state (:782-960) ---
     du_edges = eng.edge_gather(d_dis_nodes)
     DF = kin.incremental_deformation_gradient(du_edges, dN)
-    F_n1 = DF @ p.F
+    F_n1 = tn.bmm(DF, p.F)
     J_n1 = tn.det(F_n1)
     J_n1 = jnp.maximum(J_n1, 1e-8)
     v_edges = eng.edge_gather(v_nodes)
@@ -408,12 +408,12 @@ def upw_newmark_step(
     def local_state(dU, dth):
         grad_du = kin.disp_gradient(eng.edge_gather(dU), dN)
         DF = grad_du + eye
-        F_n1 = DF @ p.F
+        F_n1 = tn.bmm(DF, p.F)
         J_n1 = jnp.maximum(tn.det(F_n1), 1e-8)
         dt_DF = nm.alpha_4 * grad_du + grad_vel_const
         dFdt_n1 = kin.rate_deformation_gradient_n1(dt_DF, p.F, DF, p.dFdt)
         # dJ/dt = J·tr(Ḟ F⁻¹)
-        dJdt_n1 = J_n1 * tn.trace(dFdt_n1 @ tn.inv(F_n1))
+        dJdt_n1 = J_n1 * tn.trace(tn.bmm(dFdt_n1, tn.inv(F_n1)))
         theta_n1_p = eng.g2p(N, theta_n_nodes + dth)
         dth_dt_p = (eng.g2p(N, dth) - (1.0 - gamma) * dt * p.dpw_dt) / (gamma * dt)
         cs = con.stress_integration(

@@ -45,6 +45,25 @@ class GidMesh(NamedTuple):
 
 
 def read_gid_mesh(path: str) -> GidMesh:
+    """Parse a GiD .msh.  Uses the C++ parser (io/native.py) when available
+    — ~100x faster on large meshes — with this Python loop as fallback."""
+    from . import native
+
+    out = native.read_gid_mesh_native(path) if native.available() else None
+    if out is not None:
+        dim, elem_name, coords, conn = out
+        key = (elem_name, conn.shape[1])
+        if key in ELEM_TYPES:
+            return GidMesh(
+                dimension=dim,
+                elem_type=ELEM_TYPES[key],
+                coords=coords,
+                connectivity=conn,
+            )
+    return _read_gid_mesh_py(path)
+
+
+def _read_gid_mesh_py(path: str) -> GidMesh:
     dimension = None
     elem_name = None
     nnode = None

@@ -17,7 +17,7 @@ from ..ops import tensor as tn
 def spatial_velocity_gradient(dFdt: jax.Array, F: jax.Array) -> jax.Array:
     """L = Ḟ F⁻¹ (spatial_velocity_gradient__Particles__,
     compute-Strains.c:249)."""
-    return dFdt @ tn.inv(F)
+    return tn.bmm(dFdt, tn.inv(F))
 
 
 def newtonian_fluid(F, dFdt, *, p0, mu, n, K):

@@ -42,7 +42,7 @@ def almansi_strain(F: jax.Array) -> jax.Array:
     """Eulerian Almansi strain e = ½(I − b⁻¹)
     (eulerian_almansi__Particles__, compute-Strains.c:388)."""
     d = F.shape[-1]
-    b = F @ jnp.swapaxes(F, -1, -2)
+    b = tn.bmm_t(F, F)
     return 0.5 * (jnp.eye(d, dtype=F.dtype) - tn.inv(b))
 
 

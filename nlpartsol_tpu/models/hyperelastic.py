@@ -59,7 +59,7 @@ def saint_venant_kirchhoff(F: jax.Array, E_mod: jax.Array, nu: jax.Array):
     trE = tn.trace(Egr)  # E_zz = 0 in plane strain
     eye = jnp.eye(d, dtype=F.dtype)
     S = lam[..., None, None] * trE[..., None, None] * eye + 2.0 * G[..., None, None] * Egr
-    tau = F @ S @ jnp.swapaxes(F, -1, -2)
+    tau = tn.bmm_t(tn.bmm(F, S), F)
     tau_zz = lam * trE  # S_zz = λ tr(E); F_zz = 1
     W = 0.5 * lam * trE * trE + G * jnp.sum(Egr * Egr, axis=(-2, -1))
     return tau, tau_zz, W

@@ -39,7 +39,7 @@ def trial_bemi(bemi: jax.Array, bemi_zz: jax.Array, DF: jax.Array):
     """
     d = bemi.shape[-1]
     dA = DF - jnp.eye(d, dtype=DF.dtype)
-    bemi_tr = DF @ bemi @ jnp.swapaxes(DF, -1, -2) + tn.bmi_from_disp_grad(dA)
+    bemi_tr = tn.bmm_t(tn.bmm(DF, bemi), DF) + tn.bmi_from_disp_grad(dA)
     wm1, V = tn.sym_eig(bemi_tr)
     if d == 2:
         wm1 = jnp.concatenate([wm1, bemi_zz[..., None]], axis=-1)

@@ -1,0 +1,622 @@
+"""Fused Pallas TPU kernels for the LME particle↔grid transfer pipeline.
+
+The XLA 'windowed' engine (ops/windowed.py) materialises the per-edge
+tensors N (Ns, K), dN (Ns, K, d) and every per-edge value array in HBM; at
+K = 49 (2D LME, γ=3) those are hundreds of MB per step, and a trailing
+K=49 or d=2 axis occupies a 128-wide lane tile, so the step is bandwidth-
+bound on padded edge traffic.
+
+These kernels never materialise edge tensors: for each *row of active-box
+cells*, the LME basis (λ-Newton + N + ∇N; src/Nodes/LME.c:272-353,700-891)
+is (re)computed in VMEM from slot positions and the warm-start λ, and
+immediately contracted:
+
+* ``fused_scatter`` — P2G: per-slot channel values (N-weighted) and/or
+  per-slot 2×2 matrices G (gradient-weighted: contributes G·∇N_A to node
+  A) accumulate into a per-row node-strip buffer; a KY-fold shifted add
+  outside the kernel produces the node field.  Optionally runs the λ
+  Newton solve (once per step) and emits the converged λ.
+* ``fused_gather`` — G2P: the KY node rows a cell-row touches are DMA'd
+  into VMEM and contracted against N (channel gather) and ∇N
+  (displacement-gradient gather) per slot.
+
+HBM traffic per call is O(Ns·channels + node strips) instead of
+O(Ns·K·channels·padding).
+
+Axis convention (2D): grid dims = (n0, n1), flat node = i0·n1 + i1.
+Kernel rows run over box axis 0; box axis 1 rides the 128-lane dimension.
+Slot arrays are capacity-major (ops/windowed.py) and passed channel-leading
+as (ch, C, n_cells); coordinate channel c is the position along grid axis c.
+2D only — 3D runs fall back to the XLA windowed engine.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..shapefun import lme as lme_mod
+from ..types import Grid
+from . import windowed
+
+
+# Test hook: force interpret-mode pallas on CPU (slow; kernel-parity tests
+# only).  Off-TPU production/test calls use the pure-XLA fallback below,
+# which implements the identical slot-cell-centered widened-window
+# semantics with the existing lme/windowed building blocks.
+FORCE_INTERPRET = False
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _offs(w: int):
+    return list(range(-w, w + 1))
+
+
+class _Geom:
+    """Static geometry shared by both kernels."""
+
+    def __init__(self, grid: Grid, box: windowed.ActiveBox, params: lme_mod.LMEParams,
+                 margin: int = 0):
+        assert grid.dim == 2, "pallas transfer is 2D; windowed engine covers 3D"
+        self.h = grid.spacing
+        self.beta = lme_mod.beta_of(params, grid.spacing)
+        r_sup = lme_mod.support_radius(params, grid.spacing)
+        self.r2max = r_sup * r_sup
+        # margin widens the window so particles may drift up to `margin`
+        # cells from their binned slot cell between re-binnings: the radius
+        # mask r² ≤ R² keeps the evaluated basis exact regardless of which
+        # cell inside the widened window the particle actually occupies.
+        self.w = lme_mod.window_halfwidth(params, 1.0) + margin
+        self.K1 = 2 * self.w + 1
+        self.K = self.K1 * self.K1
+        self.c0, self.c1 = box.cdims
+        self.c1p = ((self.c1 + 127) // 128) * 128  # 128-aligned lane width
+        self.C = box.capacity
+        self.nc = box.n_cells
+        self.n0, self.n1 = grid.dims
+        self.o0, self.o1 = box.offset  # box cell origin (grid frame)
+        self.params = params
+
+
+def _basis_terms(g: _Geom, x0, x1, lam0, lam1, act, cy):
+    """Per-offset closures: rel components and validity for offset (o0, o1)."""
+    h = g.h
+    c1_idx = jax.lax.broadcasted_iota(jnp.int32, x0.shape, 1).astype(jnp.float32)
+    cyf = cy.astype(jnp.float32)
+
+    def rel(o0, o1):
+        # node multi-index = (g.o0 + cy + o0, g.o1 + c1_idx + o1)
+        n0pos = (jnp.float32(g.o0 + o0) + cyf) * h
+        n1pos = (c1_idx + (g.o1 + o1)) * h
+        return x0 - n0pos, x1 - n1pos
+
+    cyi = cy.astype(jnp.int32)
+
+    def valid(o0, o1):
+        i0 = g.o0 + o0 + cyi  # scalar
+        in0 = (i0 >= 0) & (i0 <= g.n0 - 1)
+        i1 = c1_idx + (g.o1 + o1)
+        in1 = (i1 >= 0) & (i1 <= g.n1 - 1)
+        return act & in0 & in1
+
+    return rel, valid
+
+
+def _softmax_into(g: _Geom, rel, valid, lam0, lam1, f_scr):
+    """Fill f_scr[k] with exp(f_k − fmax) (0 where masked); return Z."""
+    neg = jnp.float32(-1e30)
+    shape = lam0.shape
+    fmax = jnp.full(shape, neg, jnp.float32)
+    k = 0
+    for o0 in _offs(g.w):
+        for o1 in _offs(g.w):
+            r0, r1 = rel(o0, o1)
+            r2 = r0 * r0 + r1 * r1
+            f = -g.beta * r2 + lam0 * r0 + lam1 * r1
+            f = jnp.where(valid(o0, o1) & (r2 <= g.r2max), f, neg)
+            f_scr[k] = f
+            fmax = jnp.maximum(fmax, f)
+            k += 1
+    Z = jnp.zeros(shape, jnp.float32)
+    for k in range(g.K):
+        e = jnp.where(f_scr[k] > neg * 0.5, jnp.exp(f_scr[k] - fmax), 0.0)
+        f_scr[k] = e
+        Z = Z + e
+    return Z
+
+
+def _r_and_J(g: _Geom, rel, p_of_k):
+    """r = Σ p·l; J = Σ p·l⊗l − r⊗r (LME.c:766,795)."""
+    z = None
+    r0 = r1 = j00 = j01 = j11 = None
+    k = 0
+    for o0 in _offs(g.w):
+        for o1 in _offs(g.w):
+            l0, l1 = rel(o0, o1)
+            p = p_of_k(k)
+            if k == 0:
+                r0 = p * l0
+                r1 = p * l1
+                j00 = p * l0 * l0
+                j01 = p * l0 * l1
+                j11 = p * l1 * l1
+            else:
+                r0 = r0 + p * l0
+                r1 = r1 + p * l1
+                j00 = j00 + p * l0 * l0
+                j01 = j01 + p * l0 * l1
+                j11 = j11 + p * l1 * l1
+            k += 1
+    j00 = j00 - r0 * r0
+    j01 = j01 - r0 * r1
+    j11 = j11 - r1 * r1
+    return r0, r1, j00, j01, j11
+
+
+def _inv2_damped(j00, j01, j11):
+    """Damped closed-form symmetric 2×2 inverse (replaces the reference's
+    rcond<1e-8 abort, LME.c:308-313)."""
+    tr = j00 + j11
+    eps = 1e-10 * jnp.maximum(tr, 1e-30)
+    j00 = j00 + eps
+    j11 = j11 + eps
+    det = j00 * j11 - j01 * j01
+    det = jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    inv = 1.0 / det
+    return j11 * inv, -j01 * inv, j00 * inv  # i00, i01, i11
+
+
+# ---------------------------------------------------------------------------
+# scatter
+# ---------------------------------------------------------------------------
+
+
+def _make_scatter_kernel(g: _Geom, cN: int, has_G: bool, solve: bool):
+    w, K, K1 = g.w, g.K, g.K1
+    T = g.c1
+    mx = g.params.max_iter
+    tol2 = g.params.tol_lambda * g.params.tol_lambda * g.r2max
+
+    def kernel(x_ref, lam_ref, act_ref, fN_ref, G_ref, out_ref, lam_out_ref,
+               cnt_ref, f_scr):
+        cy = pl.program_id(0)
+        x0 = x_ref[0, 0]
+        x1 = x_ref[0, 1]
+        act = act_ref[0, 0] > 0.5
+        lam0 = lam_ref[0, 0]
+        lam1 = lam_ref[0, 1]
+        rel, valid = _basis_terms(g, x0, x1, lam0, lam1, act, cy)
+
+        if solve:
+            # λ Newton with tile-level early exit (LME.c:272-353)
+            def body(state):
+                lam0, lam1, _, it = state
+                f_list = [None] * K
+                neg = jnp.float32(-1e30)
+                fmax = jnp.full(x0.shape, neg, jnp.float32)
+                k = 0
+                for o0 in _offs(w):
+                    for o1 in _offs(w):
+                        r0_, r1_ = rel(o0, o1)
+                        r2 = r0_ * r0_ + r1_ * r1_
+                        f = -g.beta * r2 + lam0 * r0_ + lam1 * r1_
+                        f = jnp.where(valid(o0, o1) & (r2 <= g.r2max), f, neg)
+                        f_list[k] = f
+                        fmax = jnp.maximum(fmax, f)
+                        k += 1
+                Z = jnp.zeros(x0.shape, jnp.float32)
+                for k in range(K):
+                    e = jnp.where(f_list[k] > neg * 0.5, jnp.exp(f_list[k] - fmax), 0.0)
+                    f_list[k] = e
+                    Z = Z + e
+                Zs = jnp.maximum(Z, 1e-30)
+                r0, r1, j00, j01, j11 = _r_and_J(g, rel, lambda k: f_list[k] / Zs)
+                i00, i01, i11 = _inv2_damped(j00, j01, j11)
+                live = act & (Z > 0.0)
+                rn2 = jnp.where(live, r0 * r0 + r1 * r1, 0.0)
+                conv = rn2 <= tol2
+                lam0 = jnp.where(conv, lam0, lam0 - (i00 * r0 + i01 * r1))
+                lam1 = jnp.where(conv, lam1, lam1 - (i01 * r0 + i11 * r1))
+                return lam0, lam1, jnp.all(conv), it + jnp.int32(1)
+
+            def cond(state):
+                _, _, done, it = state
+                return jnp.logical_not(done) & (it < mx)
+
+            lam0, lam1, _, _ = jax.lax.while_loop(
+                cond, body, (lam0, lam1, jnp.asarray(False), jnp.int32(0))
+            )
+        lam_out_ref[0, 0] = lam0
+        lam_out_ref[0, 1] = lam1
+
+        Z = _softmax_into(g, rel, valid, lam0, lam1, f_scr)
+        Zs = jnp.maximum(Z, 1e-30)
+        # edge count (nnz of the dynamic pattern) for throughput diagnostics
+        cnt = jnp.zeros(x0.shape, jnp.float32)
+        for k in range(K):
+            cnt = cnt + (f_scr[k] > 0.0).astype(jnp.float32)
+        total = jnp.sum(cnt)
+        onehot = (
+            (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0)
+            & (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0)
+        )
+        cnt_ref[0] = jnp.where(onehot, total, 0.0)
+
+        if has_G:
+            r0, r1, j00, j01, j11 = _r_and_J(g, rel, lambda k: f_scr[k] / Zs)
+            i00, i01, i11 = _inv2_damped(j00, j01, j11)
+            g00 = G_ref[0, 0]
+            g01 = G_ref[0, 1]
+            g10 = G_ref[0, 2]
+            g11 = G_ref[0, 3]
+
+        # per-offset full-width banks: out[0, k*cout + c, :] — every store is
+        # a full 128-aligned lane row (Mosaic requires aligned slice shapes);
+        # the (o0, o1) shifts happen in the XLA epilogue
+        cout = cN + (2 if has_G else 0)
+        k = 0
+        for o0 in _offs(w):
+            for o1 in _offs(w):
+                N_k = f_scr[k] / Zs
+                for c in range(cN):
+                    out_ref[0, k * cout + c, :] = jnp.sum(N_k * fN_ref[0, c], axis=0)
+                if has_G:
+                    l0, l1 = rel(o0, o1)
+                    a0 = l0 - r0
+                    a1 = l1 - r1
+                    dn0 = -N_k * (i00 * a0 + i01 * a1)
+                    dn1 = -N_k * (i01 * a0 + i11 * a1)
+                    out_ref[0, k * cout + cN, :] = jnp.sum(g00 * dn0 + g01 * dn1, axis=0)
+                    out_ref[0, k * cout + cN + 1, :] = jnp.sum(g10 * dn0 + g11 * dn1, axis=0)
+                k += 1
+
+    return kernel
+
+
+def _xla_basis(g: _Geom, grid, box, params, x_t, lam_t, act_t, solve):
+    """Slot-cell-centered widened-window LME basis in plain XLA — the exact
+    semantics of the kernels, for non-TPU backends."""
+    from . import sparse  # noqa: F401 (documented fallback dependency)
+    from ..shapefun.window import window_offsets
+
+    x = from_channel_leading(x_t)
+    lam0 = from_channel_leading(lam_t)
+    act = from_channel_leading(act_t)[:, 0] > 0.5
+    offs = window_offsets(2, -g.w, g.w)  # widened window
+    cells = jnp.asarray(windowed.slot_cells(box))  # (Ns, 2) grid frame
+    multi = cells[:, None, :] + jnp.asarray(offs)[None, :, :]
+    dims = jnp.asarray(grid.dims)
+    inb = jnp.all((multi >= 0) & (multi < dims), axis=-1)
+    node_pos = multi.astype(x.dtype) * g.h + jnp.asarray(grid.origin, x.dtype)
+    rel = x[:, None, :] - node_pos
+    sq = jnp.sum(rel * rel, axis=-1)
+    mask = inb & (sq <= g.r2max) & act[:, None]
+    if solve:
+        lam = lme_mod.solve_lambda(rel, mask, lam0, g.beta, params)
+    else:
+        lam = lam0
+    f = -g.beta * sq + jnp.einsum("pi,pki->pk", lam, rel)
+    neg = jnp.asarray(-1e30, f.dtype)
+    f = jnp.where(mask, f, neg)
+    fmax = jnp.max(f, axis=-1, keepdims=True)
+    e = jnp.where(mask, jnp.exp(f - fmax), 0.0)
+    Z = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    N = e / Z
+    r = jnp.einsum("pk,pki->pi", N, rel)
+    J = jnp.einsum("pk,pki,pkj->pij", N, rel, rel) - r[:, :, None] * r[:, None, :]
+    from . import tensor as tn
+
+    Jd = J + 1e-10 * tn.trace(J)[..., None, None] * jnp.eye(2, dtype=J.dtype)
+    Jinv = tn.inv(Jd)
+    dN = -N[..., None] * jnp.einsum("pij,pkj->pki", Jinv, rel - r[:, None, :])
+    return offs, N, dN, mask, lam
+
+
+def _scatter_xla(grid, box, params, x_t, lam_t, act_t, fN_t, G_t, solve, margin):
+    g = _Geom(grid, box, params, margin)
+    offs, N, dN, mask, lam = _xla_basis(
+        g, grid, box, params, x_t, lam_t, act_t, solve
+    )
+    C, nc = box.capacity, box.n_cells
+    cols = []
+    fN = from_channel_leading(fN_t)  # (Ns, cN)
+    cols.append(N[..., None] * fN[:, None, :])
+    if G_t is not None:
+        G = from_channel_leading(G_t).reshape(-1, 2, 2)
+        cols.append(jnp.einsum("pij,pkj->pki", G, dN))
+    vals = jnp.concatenate(cols, axis=-1)
+    vals = jnp.where(mask[..., None], vals, 0.0)
+    nodes = windowed.p2g(vals, box, grid, offs)
+    nnz = jnp.sum(mask.astype(jnp.int32))
+    return nodes, to_channel_leading(lam, C, nc), nnz
+
+
+def _gather_xla(grid, box, params, x_t, lam_t, act_t, gN, g_grad, margin):
+    g = _Geom(grid, box, params, margin)
+    offs, N, dN, mask, _ = _xla_basis(
+        g, grid, box, params, x_t, lam_t, act_t, solve=False
+    )
+    Nm = jnp.where(mask, N, 0.0)
+    outN = windowed.g2p(gN, Nm, box, grid, offs) if gN is not None else None
+    grad = None
+    if g_grad is not None:
+        per_cell = windowed.cell_edge_field(g_grad, box, grid, offs)
+        K = offs.shape[0]
+        nc = box.n_cells
+        u = jnp.broadcast_to(
+            per_cell.reshape((1, nc, K, 2)), (box.capacity, nc, K, 2)
+        ).reshape(box.n_slots, K, 2)
+        dNm = jnp.where(mask[..., None], dN, 0.0)
+        grad = jnp.einsum("pki,pkj->pij", u, dNm)
+    return outN, grad
+
+
+def fused_scatter(
+    grid: Grid,
+    box: windowed.ActiveBox,
+    params: lme_mod.LMEParams,
+    x_t: jax.Array,     # (2, C, nc) slot positions, origin-relative handled here
+    lam_t: jax.Array,   # (2, C, nc) λ warm start
+    act_t: jax.Array,   # (1, C, nc) active (f32 0/1)
+    fN_t: jax.Array,    # (cN, C, nc) N-weighted channels
+    G_t: Optional[jax.Array] = None,  # (4, C, nc) grad-weighted row-major 2×2
+    solve: bool = True,
+    margin: int = 0,
+):
+    """Fused LME+P2G.  Returns (nodes (n_nodes, cout), lam (2, C, nc));
+    cout = cN (+2 when G_t given, the Σ G·∇N vector appended)."""
+    if not _on_tpu() and not FORCE_INTERPRET:
+        return _scatter_xla(
+            grid, box, params, x_t, lam_t, act_t, fN_t, G_t, solve, margin
+        )
+    g = _Geom(grid, box, params, margin)
+    cN = fN_t.shape[0]
+    has_G = G_t is not None
+    cout = cN + (2 if has_G else 0)
+    dt = x_t.dtype
+    org = jnp.asarray(grid.origin, dt)
+    x_shift = x_t - org[:, None, None]
+    if not has_G:
+        G_t = jnp.zeros((4, g.C, g.nc), dt)
+
+    pad1 = g.c1p - g.c1
+
+    def view(a, ch):
+        # (ch, C, nc) → (c0, ch, C, c1p): the blocked row axis leads so the
+        # last two block dims equal the array dims; lanes padded to 128
+        v = jnp.moveaxis(a.reshape((ch, g.C, g.c0, g.c1)), 2, 0)
+        return jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad1)))
+
+    slot_spec = lambda ch: pl.BlockSpec(
+        (1, ch, g.C, g.c1p), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    kernel = _make_scatter_kernel(g, cN, has_G, solve)
+    out, lam_new, cnt = pl.pallas_call(
+        kernel,
+        grid=(g.c0,),
+        in_specs=[slot_spec(2), slot_spec(2), slot_spec(1), slot_spec(cN), slot_spec(4)],
+        out_specs=[
+            pl.BlockSpec((1, g.K * cout, g.c1p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            slot_spec(2),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g.c0, g.K * cout, g.c1p), dt),
+            jax.ShapeDtypeStruct((g.c0, 2, g.C, g.c1p), dt),
+            jax.ShapeDtypeStruct((g.c0, 8, 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((g.K, g.C, g.c1p), dt)],
+        interpret=not _on_tpu(),
+    )(view(x_shift, 2), view(lam_t, 2), view(act_t, 1), view(fN_t, cN), view(G_t, 4))
+
+    # XLA epilogue: (o0, o1)-shifted adds of the per-cell banks into nodes
+    part = out.reshape(g.c0, g.K, cout, g.c1p)[:, :, :, : g.c1]
+    nodes = jnp.zeros((g.n0, g.n1, cout), dt)
+    k = 0
+    for o0 in range(-g.w, g.w + 1):
+        r0 = g.o0 + o0
+        rlo, rhi = max(0, -r0), min(g.c0, g.n0 - r0)
+        for o1 in range(-g.w, g.w + 1):
+            cb = g.o1 + o1
+            clo, chi = max(0, -cb), min(g.c1, g.n1 - cb)
+            if rhi > rlo and chi > clo:
+                strip = part[rlo:rhi, k, :, clo:chi]  # (rows, cout, cols)
+                nodes = nodes.at[
+                    r0 + rlo : r0 + rhi, cb + clo : cb + chi, :
+                ].add(jnp.moveaxis(strip, 1, 2))
+            k += 1
+    lam_new = jnp.moveaxis(lam_new[:, :, :, : g.c1], 0, 2).reshape(2, g.C, g.nc)
+    return (
+        nodes.reshape(g.n0 * g.n1, cout),
+        lam_new,
+        jnp.sum(cnt[:, 0, 0]).astype(jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gather
+# ---------------------------------------------------------------------------
+
+
+def _make_gather_kernel(g: _Geom, cN: int, has_grad: bool, cg: int):
+    """8-cell-row program.  Node rows arrive as three 8-row-aligned blocks
+    of the padded field (rows r_lo/r_mid/r_hi), so every row index the
+    kernel touches is static — no dynamic-offset DMA (Mosaic requires
+    sublane-aligned dynamic slices)."""
+    w, K = g.w, g.K
+    assert w <= 4, "window halfwidth > 4 needs a 4th row block"
+
+    def kernel(x_ref, lam_ref, act_ref, rlo_ref, rmid_ref, rhi_ref,
+               outN_ref, outG_ref, f_scr):
+        rows = (rlo_ref, rmid_ref, rhi_ref)
+        cy0 = pl.program_id(0) * 8  # first cell row of this program
+
+        for r in range(8):
+            x0 = x_ref[r, 0]
+            x1 = x_ref[r, 1]
+            act = act_ref[r, 0] > 0.5
+            lam0 = lam_ref[r, 0]
+            lam1 = lam_ref[r, 1]
+            cy = cy0 + r
+            rel, valid = _basis_terms(g, x0, x1, lam0, lam1, act, cy)
+            Z = _softmax_into(g, rel, valid, lam0, lam1, f_scr)
+            Zs = jnp.maximum(Z, 1e-30)
+            if has_grad:
+                r0, r1, j00, j01, j11 = _r_and_J(g, rel, lambda k: f_scr[k] / Zs)
+                i00, i01, i11 = _inv2_damped(j00, j01, j11)
+
+            accN = [jnp.zeros(x0.shape, jnp.float32) for _ in range(cN)]
+            accG = [jnp.zeros(x0.shape, jnp.float32) for _ in range(4)]
+            k = 0
+            for o0 in _offs(w):
+                l = w + r + o0  # static local padded-row index
+                ref = rows[l // 8]
+                row = l % 8
+                for o1 in _offs(w):
+                    col = g.o1 + o1 + w  # static padded col of cell j=0
+                    N_k = f_scr[k] / Zs
+                    for c in range(cN):
+                        gv = ref[c, row, pl.ds(col, g.c1p)][None, :]
+                        accN[c] = accN[c] + N_k * gv
+                    if has_grad:
+                        l0, l1 = rel(o0, o1)
+                        a0 = l0 - r0
+                        a1 = l1 - r1
+                        dn0 = -N_k * (i00 * a0 + i01 * a1)
+                        dn1 = -N_k * (i01 * a0 + i11 * a1)
+                        u0 = ref[cN + 0, row, pl.ds(col, g.c1p)][None, :]
+                        u1 = ref[cN + 1, row, pl.ds(col, g.c1p)][None, :]
+                        accG[0] = accG[0] + u0 * dn0
+                        accG[1] = accG[1] + u0 * dn1
+                        accG[2] = accG[2] + u1 * dn0
+                        accG[3] = accG[3] + u1 * dn1
+                    k += 1
+            if cN:
+                for c in range(cN):
+                    outN_ref[r, c] = accN[c]
+            else:
+                outN_ref[r, 0] = jnp.zeros(x0.shape, jnp.float32)
+            for c in range(4):
+                outG_ref[r, c] = accG[c]
+
+    return kernel
+
+
+def fused_gather(
+    grid: Grid,
+    box: windowed.ActiveBox,
+    params: lme_mod.LMEParams,
+    x_t: jax.Array,     # (2, C, nc)
+    lam_t: jax.Array,   # (2, C, nc) converged λ
+    act_t: jax.Array,   # (1, C, nc)
+    gN: Optional[jax.Array] = None,      # (n_nodes, cN)
+    g_grad: Optional[jax.Array] = None,  # (n_nodes, 2)
+    margin: int = 0,
+):
+    """Fused LME+G2P.  Returns (outN (Ns, cN) | None, grad (Ns, 2, 2) | None)
+    where grad[s, i, j] = Σ_A g_grad[A, i]·∂N_A/∂x_j."""
+    if not _on_tpu() and not FORCE_INTERPRET:
+        return _gather_xla(grid, box, params, x_t, lam_t, act_t, gN, g_grad, margin)
+    g = _Geom(grid, box, params, margin)
+    dt = x_t.dtype
+    cN = 0 if gN is None else gN.shape[1]
+    has_grad = g_grad is not None
+    fields = ([] if gN is None else [gN]) + ([g_grad] if has_grad else [])
+    cg = cN + (2 if has_grad else 0)
+    if cg == 0:
+        raise ValueError("nothing to gather")
+    g_all = jnp.concatenate(fields, axis=1).reshape(g.n0, g.n1, cg)
+
+    # Row padding: pad_top pt makes a = o0 − w + pt ≡ 0 (mod 8).  Program i's
+    # window rows (local index l = w + r + o0 ∈ [0, 7+2w], w ≤ 4 ⇒ l < 16)
+    # then live in padded-row blocks a/8 + i + {0, 1} ({0,1,2} kept for slack).
+    pt_rows = g.w + ((-g.o0) % 8)
+    a = g.o0 - g.w + pt_rows
+    c0p = ((g.c0 + 7) // 8) * 8
+    nprog = c0p // 8
+    n_rows = a + 8 * (nprog - 1) + 32
+    Wrow = max(g.n1 + 2 * g.w, g.o1 + 2 * g.w + g.c1p)
+    gpad = jnp.pad(
+        g_all,
+        ((pt_rows, max(0, n_rows - g.n0 - pt_rows)), (g.w, Wrow - g.n1 - g.w), (0, 0)),
+    )
+    gpad = jnp.moveaxis(gpad, 2, 0)  # (cg, n_rows, Wrow)
+    a8 = a // 8
+
+    org = jnp.asarray(grid.origin, dt)
+    x_shift = x_t - org[:, None, None]
+    pad1 = g.c1p - g.c1
+    pad0 = c0p - g.c0
+
+    def view(a_, ch):
+        v = jnp.moveaxis(a_.reshape((ch, g.C, g.c0, g.c1)), 2, 0)
+        return jnp.pad(v, ((0, pad0), (0, 0), (0, 0), (0, pad1)))
+
+    slot_spec = lambda ch: pl.BlockSpec(
+        (8, ch, g.C, g.c1p), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    def row_spec(shift):
+        return pl.BlockSpec(
+            (cg, 8, Wrow),
+            lambda i: (0, a8 + i + shift, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = _make_gather_kernel(g, cN, has_grad, cg)
+    outN, outG = pl.pallas_call(
+        kernel,
+        grid=(nprog,),
+        in_specs=[
+            slot_spec(2),
+            slot_spec(2),
+            slot_spec(1),
+            row_spec(0),
+            row_spec(1),
+            row_spec(2),
+        ],
+        out_specs=[slot_spec(max(cN, 1)), slot_spec(4)],
+        out_shape=[
+            jax.ShapeDtypeStruct((c0p, max(cN, 1), g.C, g.c1p), dt),
+            jax.ShapeDtypeStruct((c0p, 4, g.C, g.c1p), dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((g.K, g.C, g.c1p), dt),
+        ],
+        interpret=not _on_tpu(),
+    )(view(x_shift, 2), view(lam_t, 2), view(act_t, 1), gpad, gpad, gpad)
+
+    ns = g.C * g.nc
+    outN = jnp.moveaxis(outN[: g.c0, :, :, : g.c1], 0, 2)  # (cN, C, c0, c1)
+    outG = jnp.moveaxis(outG[: g.c0, :, :, : g.c1], 0, 2)
+    outN_r = jnp.moveaxis(outN.reshape(max(cN, 1), ns), 0, 1) if cN else None
+    grad_r = (
+        jnp.moveaxis(outG.reshape(4, ns), 0, 1).reshape(ns, 2, 2) if has_grad else None
+    )
+    return outN_r, grad_r
+
+
+# ---------------------------------------------------------------------------
+# layout helpers
+# ---------------------------------------------------------------------------
+
+
+def to_channel_leading(a: jax.Array, C: int, nc: int) -> jax.Array:
+    """(Ns[, ch]) capacity-major slot array → (ch, C, nc)."""
+    if a.ndim == 1:
+        return a.reshape(1, C, nc)
+    return jnp.moveaxis(a, 1, 0).reshape(a.shape[1], C, nc)
+
+
+def from_channel_leading(a: jax.Array) -> jax.Array:
+    """(ch, C, nc) → (Ns, ch)."""
+    return jnp.moveaxis(a.reshape(a.shape[0], -1), 0, 1)
