@@ -33,7 +33,13 @@ def main(argv=None):
     ap.add_argument("--OPENMP-CORES", type=int, default=0,
                     help="(compat; ignored — use jax device meshes)")
     ap.add_argument("--Print-Convergence", action="store_true")
-    ap.add_argument("--transfer", choices=["scatter", "windowed"], default="scatter")
+    ap.add_argument(
+        "--transfer",
+        choices=["scatter", "windowed", "pallas"],
+        default="windowed",
+        help="particle<->grid engine: 'windowed' (scatter-free XLA; default), "
+        "'pallas' (fused TPU kernels; explicit 2D LME), 'scatter' (general fallback)",
+    )
     ap.add_argument("--platform", default=None, help="jax platform override (e.g. cpu)")
     ap.add_argument("--steps", type=int, default=None, help="override N time steps")
     ap.add_argument("--no-output", action="store_true")

@@ -41,6 +41,16 @@ def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_b
     shp_kw = {}
     if setup.shapefun == "lme":
         shp_kw["lme_params"] = lme_mod.LMEParams(**setup.shapefun_params)
+    formulation_ = getattr(setup, "formulation", "u")
+    if transfer == "pallas" and (
+        formulation_ != "u"
+        or setup.solver.scheme not in EXPLICIT_SCHEMES
+        or setup.shapefun != "lme"
+        or setup.grid.dim != 2
+    ):
+        # fused kernels currently cover the explicit 2D LME -u path; other
+        # paths take the XLA windowed engine (same slot layout, same physics)
+        transfer = "windowed"
     common = dict(
         dt=dt,
         shapefun=setup.shapefun,
@@ -95,13 +105,19 @@ def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_b
 
 def run_simulation(
     setup: SimulationSetup,
-    transfer: str = "scatter",
+    transfer: str = "windowed",
     active_box=None,
     write_outputs: bool = True,
     n_steps: Optional[int] = None,
     progress: bool = True,
+    check_lost: bool = True,
 ):
     """Run the configured simulation; returns (particles, history dict)."""
+    if transfer in ("windowed", "pallas") and active_box is None:
+        # auto-size: full-grid box, capacity = current max per cell × 2
+        active_box = windowed.default_box(
+            setup.grid, setup.particles.x, setup.particles.active
+        )
     cfg = make_step_config(setup, transfer=transfer, active_box=active_box)
     formulation = getattr(setup, "formulation", "u")
     mixtures = getattr(setup, "mixtures", None)
@@ -127,8 +143,19 @@ def run_simulation(
 
     grid = setup.grid
     p = setup.particles
-    if transfer == "windowed":
-        p = to_slot_layout(p, grid, active_box)
+    if transfer in ("windowed", "pallas"):
+        p = to_slot_layout(p, grid, active_box, allow_lost=not check_lost)
+    if setup.shapefun == "gimp":
+        # uGIMP window halfwidth 2 assumes l_p ≤ h (gimp.py:27)
+        from .shapefun import gimp as gimp_mod
+
+        lp_max = float(np.max(np.asarray(gimp_mod.voxel_halfwidth(p.vol0, p.dim))))
+        if lp_max > grid.spacing:
+            raise ValueError(
+                f"uGIMP voxel half-width l_p={lp_max:.3g} exceeds grid "
+                f"spacing h={grid.spacing:.3g}; the 2-cell support window "
+                f"would truncate. Refine particles or coarsen the grid."
+            )
     mats = setup.materials
     n = setup.solver.n_steps if n_steps is None else n_steps
     d = p.dim
@@ -170,6 +197,17 @@ def run_simulation(
             traction = jnp.asarray(tr, config.dtype())
             t_area = area0
         p, diag = step(p, g, mats, cfg, body, traction, t_area)
+
+        if check_lost and "lost" in diag:
+            lost = int(diag["lost"])
+            if lost > 0:
+                raise RuntimeError(
+                    f"step {i}: {lost} active particles dropped by the "
+                    f"transfer ActiveBox (overflowed cell capacity or left "
+                    f"the box). Re-run with a larger box/capacity "
+                    f"(windowed.required_capacity) or check_lost=False if "
+                    f"particles legitimately exit the domain."
+                )
 
         history["t"].append((i + 1) * dt)
         if "newton_iters" in diag:

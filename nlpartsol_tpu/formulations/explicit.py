@@ -475,10 +475,29 @@ def _explicit_step_pallas(
     return p_out, diag
 
 
-def to_slot_layout(p: Particles, grid: Grid, box: windowed.ActiveBox) -> Particles:
+def to_slot_layout(
+    p: Particles, grid: Grid, box: windowed.ActiveBox, allow_lost: bool = False
+) -> Particles:
     """Convert an arbitrary particle set to windowed slot layout (do once
-    before a windowed run so the scan carry shape is invariant)."""
+    before a windowed run so the scan carry shape is invariant).
+
+    Raises when active particles do not fit the box (outside its cell range
+    or overflowing ``capacity``) unless ``allow_lost=True`` — silent mass
+    loss is never the default (a compacting granular run can exceed the
+    seeded per-cell density; size capacity with ``windowed.required_capacity``
+    or ``windowed.default_box``)."""
     binning = windowed.bin_particles(grid, box, p.x, p.active)
+    if isinstance(binning.lost, jax.core.Tracer):
+        return windowed.permute_to_slots(p, binning)  # under jit: no host check
+    lost = int(jax.device_get(binning.lost))
+    if lost > 0 and not allow_lost:
+        need = windowed.required_capacity(grid, box, p.x, p.active)
+        raise ValueError(
+            f"to_slot_layout: {lost} active particles dropped by the ActiveBox "
+            f"(cdims={box.cdims}, offset={box.offset}, capacity={box.capacity}; "
+            f"this configuration needs capacity >= {need} or a larger box). "
+            f"Pass allow_lost=True only if dropping is intended."
+        )
     return windowed.permute_to_slots(p, binning)
 
 

@@ -107,6 +107,37 @@ def slot_cells(box: ActiveBox) -> np.ndarray:
     return np.tile(idx, (box.capacity, 1)).astype(np.int32)
 
 
+def required_capacity(grid: Grid, box: ActiveBox, x, active=None) -> int:
+    """Host-side (NumPy) max particle count over the box's cells — the
+    minimum slot capacity that loses nothing for this configuration.  Use at
+    setup time; binning under jit cannot grow the static capacity."""
+    x = np.asarray(x)
+    if active is None:
+        active = np.ones(x.shape[0], bool)
+    active = np.asarray(active)
+    cell = np.floor(
+        (x - np.asarray(grid.origin)) / grid.spacing
+    ).astype(np.int64) - np.asarray(box.offset)
+    inside = np.all((cell >= 0) & (cell < np.asarray(box.cdims)), axis=-1) & active
+    strides = np.concatenate(
+        [np.cumprod(np.asarray(box.cdims[::-1]))[-2::-1], [1]]
+    ).astype(np.int64)
+    cid = np.sum(cell[inside] * strides, axis=-1)
+    if cid.size == 0:
+        return 1
+    counts = np.bincount(cid, minlength=box.n_cells)
+    return int(counts.max())
+
+
+def default_box(grid: Grid, x, active=None, slack: float = 2.0) -> ActiveBox:
+    """Full-grid ActiveBox with auto-sized capacity: the current per-cell
+    maximum × ``slack`` (local compaction headroom), so a run neither drops
+    particles at t=0 nor silently under-provisions moderate compaction."""
+    probe = full_box(grid, capacity=1)
+    cap = required_capacity(grid, probe, x, active)
+    return full_box(grid, capacity=max(2, int(np.ceil(cap * slack))))
+
+
 def bin_particles(grid: Grid, box: ActiveBox, x: jax.Array, active: jax.Array) -> Binning:
     """Sort-based cell binning (replaces ring-walk local search +
     ChainPtr tributary rebuilds, LME.c:895-1015)."""

@@ -67,6 +67,13 @@ def evaluate(grid: Grid, x: jax.Array, lp: jax.Array):
     offs = offsets_for(grid.dim)
     node_ids, rel, mask = window_nodes(grid, x, offs)
     h = grid.spacing
+    if not isinstance(lp, jax.core.Tracer):  # eager setup-time guard
+        lp_max = float(jnp.max(lp))
+        if lp_max > h:
+            raise ValueError(
+                f"uGIMP voxel half-width l_p={lp_max:.3g} > h={h:.3g}: the "
+                f"2-cell window (offsets_for) would truncate the support"
+            )
     lpk = lp[:, None, None]  # (Np,1,1)
     s1d = _sip(h, lpk, rel)  # (Np, K, d)
     d1d = _dsip(h, lpk, rel)
