@@ -27,5 +27,9 @@ def make_engine(cfg, grid, sf, offsets, mask):
     if cfg.transfer == "windowed":
         if cfg.active_box is None:
             raise ValueError("windowed transfer requires cfg.active_box")
+        if getattr(cfg, "halo", None) is not None:
+            # block-partitioned grid strip with ppermute halo exchange
+            # (parallel/domain.py); grid/active_box are the LOCAL templates
+            return transfer.HaloEngine(grid, cfg.active_box, offsets, mask, cfg.halo)
         return transfer.WindowedEngine(grid, cfg.active_box, offsets, mask, cfg.axis_name)
     return transfer.ScatterEngine(grid, sf["node_ids"], mask, cfg.axis_name)

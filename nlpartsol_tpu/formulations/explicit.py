@@ -68,6 +68,12 @@ class ExplicitConfig:
     # max drift ≤ 1 cell between re-binnings: rebin_every ≤ 1/CFL.  Kills
     # the per-step argsort+permute (the profiled top cost at large Np).
     rebin_every: int = struct.field(pytree_node=False, default=1)
+    # block-partitioned grid strip (parallel/domain.HaloSpec); grid and
+    # active_box are then the LOCAL templates and transfers halo-exchange
+    halo: object = struct.field(pytree_node=False, default=None)
+    # particles already in slot layout (the sharded driver re-bins at the
+    # end of each step after migration): skip the step's own binning
+    prebinned: bool = struct.field(pytree_node=False, default=False)
 
 
 from .common import make_engine, shapefun_eval
@@ -93,7 +99,7 @@ def explicit_step(
     n_nodes = grid.n_nodes
 
     lost = jnp.zeros((), jnp.int32)
-    if cfg.transfer == "windowed":
+    if cfg.transfer == "windowed" and not cfg.prebinned:
         binning = windowed.bin_particles(grid, cfg.active_box, p.x, p.active)
         if traction is not None:
             idx = jnp.minimum(binning.slot_particle, traction.shape[0] - 1)

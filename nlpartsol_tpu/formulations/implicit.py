@@ -95,6 +95,12 @@ class ImplicitConfig:
     active_box: windowed.ActiveBox = struct.field(pytree_node=False, default=None)
     # shard_map axis over which particles are sharded (grid replicated)
     axis_name: str = struct.field(pytree_node=False, default=None)
+    # block-partitioned grid strip (parallel/domain.HaloSpec): grid and
+    # active_box become LOCAL templates; transfers halo-exchange and the
+    # Newton-CG dot products psum over halo.axis_name
+    halo: object = struct.field(pytree_node=False, default=None)
+    # particles already in slot layout: skip the step's own binning
+    prebinned: bool = struct.field(pytree_node=False, default=False)
 
 
 def edge_force_jacobian(fi_fn, grad0: jax.Array) -> jax.Array:
@@ -133,7 +139,7 @@ def implicit_step(
     nm = newmark_parameters(cfg.beta, cfg.gamma, cfg.dt)
 
     lost = jnp.zeros((), jnp.int32)
-    if cfg.transfer == "windowed":
+    if cfg.transfer == "windowed" and not cfg.prebinned:
         binning = windowed.bin_particles(grid, cfg.active_box, p.x, p.active)
         if traction is not None:
             idx = jnp.minimum(binning.slot_particle, traction.shape[0] - 1)
@@ -268,6 +274,8 @@ def implicit_step(
         maxiter=cfg.newton_maxiter,
         cg_tol=cfg.cg_tol,
         cg_maxiter=cfg.cg_maxiter,
+        # grid-partitioned vectors (halo sharding): psum all dots/norms
+        axis_name=cfg.halo.axis_name if cfg.halo is not None else None,
     )
     dU = jnp.where(free, res.x, dU_dirichlet)
 

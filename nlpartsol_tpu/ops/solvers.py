@@ -33,6 +33,20 @@ def _vdot(a, b):
     return jnp.sum(a * b)
 
 
+def _make_vdot(axis_name):
+    """Dot product, globally reduced over a shard_map axis when the vectors
+    are grid-partitioned (halo sharding: each owned dof lives on exactly one
+    device, ghost entries are zero — a psum of local dots is the global
+    dot).  ``None`` = single-device / replicated semantics."""
+    if axis_name is None:
+        return _vdot
+
+    def vd(a, b):
+        return jax.lax.psum(jnp.sum(a * b), axis_name)
+
+    return vd
+
+
 def pcg(
     A: Callable[[jax.Array], jax.Array],
     b: jax.Array,
@@ -41,13 +55,17 @@ def pcg(
     tol: float = 1e-7,
     atol: float = 0.0,
     maxiter: int = 100,
+    axis_name: Optional[str] = None,
 ) -> CGResult:
     """Preconditioned conjugate gradients on an SPD operator.
 
     Matches the reference's Jacobi-CG semantics
     (Jacobi-Conjugate-Gradient.c: relative tolerance on ||r||) but with a
-    functional operator and fixed-bound while_loop.
+    functional operator and fixed-bound while_loop.  With ``axis_name`` the
+    vectors are grid-partitioned over that shard_map axis and all dot
+    products are psum-reduced (distributed CG).
     """
+    _vdot = _make_vdot(axis_name)
     if M_inv is None:
         M_inv = lambda r: r
     x = jnp.zeros_like(b) if x0 is None else x0
@@ -88,6 +106,7 @@ def bicgstab(
     tol: float = 1e-7,
     atol: float = 0.0,
     maxiter: int = 200,
+    axis_name: Optional[str] = None,
 ) -> CGResult:
     """Preconditioned BiCGStab for general (nonsymmetric) operators.
 
@@ -97,6 +116,7 @@ def bicgstab(
     (and the stand-in for PETSc's default KSP on nonsymmetric systems).
     Fixed-shape ``lax.while_loop`` — jit/shard_map friendly.
     """
+    _vdot = _make_vdot(axis_name)
     if M_inv is None:
         M_inv = lambda r: r
     x = jnp.zeros_like(b) if x0 is None else x0
@@ -151,6 +171,7 @@ def gmres(
     atol: float = 0.0,
     restart: int = 20,
     max_cycles: int = 10,
+    axis_name: Optional[str] = None,
 ) -> CGResult:
     """Restarted GMRES(m) with right preconditioning and Givens rotations.
 
@@ -159,6 +180,7 @@ def gmres(
     basis has static size ``restart`` (padded; converged columns are masked),
     so the whole solver jits with fixed shapes.
     """
+    _vdot = _make_vdot(axis_name)
     if M_inv is None:
         M_inv = lambda r: r
     x = jnp.zeros_like(b) if x0 is None else x0
@@ -172,9 +194,12 @@ def gmres(
     def _safe(v):
         return jnp.where(v == 0.0, jnp.finfo(dt).tiny, v)
 
+    def _gsum(v):
+        return v if axis_name is None else jax.lax.psum(v, axis_name)
+
     def cycle(x):
         r = (b - A(x)).reshape(n)
-        beta0 = jnp.sqrt(jnp.sum(r * r))
+        beta0 = jnp.sqrt(_gsum(jnp.sum(r * r)))
         V = jnp.zeros((m + 1, n), dt).at[0].set(r / _safe(beta0))
         H = jnp.zeros((m + 1, m), dt)
         cs = jnp.zeros((m,), dt)
@@ -185,11 +210,11 @@ def gmres(
             V, H, cs, sn, g = carry
             w = A(M_inv(V[j].reshape(shape))).reshape(n)
             # modified Gram-Schmidt against all m+1 rows (rows > j are zero)
-            h = V @ w  # (m+1,)
+            h = _gsum(V @ w)  # (m+1,)
             mask = jnp.arange(m + 1) <= j
             h = jnp.where(mask, h, 0.0)
             w = w - h @ V
-            h_next = jnp.sqrt(jnp.sum(w * w))
+            h_next = jnp.sqrt(_gsum(jnp.sum(w * w)))
             V = V.at[j + 1].set(w / _safe(h_next))
             col = h.at[j + 1].set(h_next)
             # apply previous Givens rotations to the new column
@@ -257,6 +282,7 @@ def newton_krylov(
     cg_tol: float = 1e-7,
     cg_maxiter: int = 100,
     linear: str = "cg",
+    axis_name: Optional[str] = None,
 ) -> NewtonResult:
     """Newton's method with matrix-free Jacobian-vector products.
 
@@ -266,8 +292,10 @@ def newton_krylov(
     (replaces __jacobian_evaluation, U-Newmark-beta.c:1646-1830).
 
     Convergence: ||R|| <= tol * max(1, ||R_0||)  (the reference's SNES rtol
-    semantics, U-Newmark-beta.c:336-343).
+    semantics, U-Newmark-beta.c:336-343).  ``axis_name``: grid-partitioned
+    vectors over that shard_map axis (all norms/dots psum-reduced).
     """
+    _vdot = _make_vdot(axis_name)
 
     r0 = residual(x0)
     r0_norm = jnp.sqrt(_vdot(r0, r0))
@@ -289,14 +317,20 @@ def newton_krylov(
             return jax.jvp(residual, (x,), (v,))[1]
 
         if linear == "bicgstab":
-            dx = bicgstab(Jv, -r, M_inv=M_inv, tol=cg_tol, maxiter=cg_maxiter).x
+            dx = bicgstab(
+                Jv, -r, M_inv=M_inv, tol=cg_tol, maxiter=cg_maxiter,
+                axis_name=axis_name,
+            ).x
         elif linear == "gmres":
             dx = gmres(
                 Jv, -r, M_inv=M_inv, tol=cg_tol,
-                max_cycles=max(1, cg_maxiter // 20),
+                max_cycles=max(1, cg_maxiter // 20), axis_name=axis_name,
             ).x
         else:
-            dx = pcg(Jv, -r, M_inv=M_inv, tol=cg_tol, maxiter=cg_maxiter).x
+            dx = pcg(
+                Jv, -r, M_inv=M_inv, tol=cg_tol, maxiter=cg_maxiter,
+                axis_name=axis_name,
+            ).x
 
         # Backtracking line search (the reference's SNESNEWTONLS,
         # U-Newmark-beta.c:281): evaluate a fixed candidate set and keep the

@@ -77,3 +77,31 @@ class WindowedEngine:
             per_cell.reshape((1, nc, K, c)), (box.capacity, nc, K, c)
         ).reshape(box.n_slots, K, c)
         return jnp.where(self.mask[..., None], out, 0.0)
+
+
+class HaloEngine(WindowedEngine):
+    """Windowed engine on a block-partitioned local grid strip
+    (parallel/domain.py): P2G completes owned planes by nearest-neighbour
+    ppermute halo adds; G2P / edge gathers fill ghost planes first.  Every
+    node vector it returns is owned-complete / ghost-zero, so global
+    reductions are psums of local ones."""
+
+    def __init__(self, grid: Grid, box, offsets, mask, halo):
+        super().__init__(grid, box, offsets, mask, axis_name=None)
+        self.halo = halo
+
+    def p2g(self, vals):
+        from ..parallel import domain
+
+        out = windowed.p2g(self._m(vals), self.box, self.grid, self.offsets)
+        return domain.halo_exchange_add(out, self.halo)
+
+    def g2p(self, weights, field):
+        from ..parallel import domain
+
+        return super().g2p(weights, domain.halo_fill(field, self.halo))
+
+    def edge_gather(self, field):
+        from ..parallel import domain
+
+        return super().edge_gather(domain.halo_fill(field, self.halo))

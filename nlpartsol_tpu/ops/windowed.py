@@ -166,41 +166,40 @@ def bin_particles(grid: Grid, box: ActiveBox, x: jax.Array, active: jax.Array) -
     return Binning(box=box, slot_particle=slot_particle, valid=valid, lost=lost)
 
 
-def permute_to_slots(p: Particles, binning: Binning) -> Particles:
-    """Re-layout the particle SoA into slot order (static size Ns).
+def flatten_soa(p: Particles):
+    """Flatten the whole particle SoA into ONE (Np, CH) f32 matrix.
 
-    All ~50 scalar channels are flattened into ONE (Np, CH) matrix and
-    permuted with a single row gather: TPU gathers pay a fixed ~25 M
-    rows/s cost regardless of row width, so one wide gather costs the same
-    as one scalar gather while the naive per-field tree_map costs 20+ of
-    them (profiled at ~10 ms each at Np ~ 4·10⁵ — it dominated the step).
-    Integer/bool channels ride along bitcast to f32 (exact)."""
-    idx = jnp.minimum(binning.slot_particle, p.count - 1)
+    TPU row gathers pay a fixed ~25 M rows/s cost regardless of row width,
+    so one wide gather/permute costs the same as one scalar gather while a
+    per-field tree_map costs 20+ of them (profiled at ~10 ms each at
+    Np ~ 4·10⁵).  Integer/bool channels ride along as f32 VALUES (exact
+    below 2²⁴; pids and material ids qualify — bitcasting is not safe:
+    int 1 bitcast to f32 is a denormal and TPUs flush denormals to zero).
+
+    Returns (big (Np, CH), specs, treedef); ``specs`` is a list of
+    (dtype, trailing_shape, n_channels) in leaf order.  Leaf order follows
+    field declaration order, so ``x`` occupies columns [0, d)."""
     leaves, treedef = jax.tree_util.tree_flatten(p)
-    np_ = p.count
-
+    np_ = leaves[0].shape[0]
     cols = []
-    specs = []  # (dtype, trailing_shape, n_channels)
+    specs = []
     for a in leaves:
         trail = a.shape[1:]
-        ch = int(np.prod(trail)) if trail else 1
+        ch = int(_prod(trail)) if trail else 1
         flat = a.reshape(np_, ch)
-        if a.dtype == jnp.float32:
-            f = flat
-        else:
-            # ints/bools ride along as f32 VALUES (exact below 2²⁴; pids and
-            # material ids qualify).  Bitcasting is not safe: int 1 bitcast
-            # to f32 is a denormal and TPUs flush denormals to zero.
-            f = flat.astype(jnp.float32)
+        f = flat if a.dtype == jnp.float32 else flat.astype(jnp.float32)
         cols.append(f)
         specs.append((a.dtype, trail, ch))
-    big = jnp.concatenate(cols, axis=1)
-    big_s = big[idx]  # ONE row gather
+    return jnp.concatenate(cols, axis=1), specs, treedef
 
+
+def unflatten_soa(big: jax.Array, specs, treedef) -> Particles:
+    """Inverse of :func:`flatten_soa` for a (N, CH) matrix."""
+    n = big.shape[0]
     out = []
     off = 0
     for dtype, trail, ch in specs:
-        f = big_s[:, off : off + ch]
+        f = big[:, off : off + ch]
         off += ch
         if dtype == jnp.float32:
             a = f
@@ -208,8 +207,16 @@ def permute_to_slots(p: Particles, binning: Binning) -> Particles:
             a = f > 0.5
         else:
             a = f.astype(dtype)
-        out.append(a.reshape((binning.slot_particle.shape[0],) + trail))
-    p_s = jax.tree_util.tree_unflatten(treedef, out)
+        out.append(a.reshape((n,) + trail))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def permute_to_slots(p: Particles, binning: Binning) -> Particles:
+    """Re-layout the particle SoA into slot order (static size Ns) with a
+    single wide row gather (see :func:`flatten_soa`)."""
+    idx = jnp.minimum(binning.slot_particle, p.count - 1)
+    big, specs, treedef = flatten_soa(p)
+    p_s = unflatten_soa(big[idx], specs, treedef)
     return p_s.replace(active=p_s.active & binning.valid)
 
 

@@ -1,0 +1,522 @@
+"""Block-partitioned background grid with ppermute halo exchange.
+
+The distributed axis of the framework (SURVEY.md §2.9/§7 step 7): for grids
+too large to replicate, the structured background grid is decomposed into
+contiguous strips of node planes along grid axis 0, one strip per device on
+a named ``jax.sharding.Mesh`` axis.  This replaces the reference's only
+parallel backend — OpenMP threads with ``#pragma omp critical`` around
+scatter insertion (U-Newmark-beta.c:547-594,1783-1789) — with the TPU
+communication pattern: nearest-neighbour ``ppermute`` over ICI for halo
+strips, ``psum`` for Krylov dot products, and capacity-padded ``ppermute``
+buffers for particle migration.
+
+Decomposition (1-D along grid axis 0):
+
+* the global :class:`~..ops.windowed.ActiveBox` is split into ``S`` equal
+  slabs of ``bc`` cell planes; device ``s`` owns cells
+  ``[box.offset0 + s·bc, box.offset0 + (s+1)·bc)`` and the corresponding
+  node planes (edge devices also own the outer halo planes).
+* each device works in a **device-frame coordinate system**: axis-0
+  positions are shifted so the local strip starts at 0 — the SPMD program
+  is identical on every device, only the (traced, sharded) shift differs.
+* the local node strip has ``ln = bc + wlo + whi`` planes: ``wlo``/``whi``
+  ghost planes below/above (window reach of the shape functions along
+  axis 0).  Particle windows never leave the strip, so P2G/G2P stay
+  the scatter-free static-slice windowed transfers of ops/windowed.py —
+  just on the strip.
+* **P2G**: local windowed scatter, then one ``ppermute`` per direction
+  adds the ghost-plane partial sums into the neighbour's owned planes
+  (:func:`halo_exchange_add`); ghost planes are then zeroed, so every grid
+  vector is "owned-complete, ghost-zero" and global dot products are
+  ``psum`` of local dots.
+* **G2P / edge gather**: one ``ppermute`` per direction fills ghost planes
+  from the neighbour's owned planes (:func:`halo_fill`) before the local
+  windowed gather.
+* **particle migration**: particles whose cell leaves the owned slab are
+  packed into fixed-capacity buffers (one wide row-gather over the
+  flattened SoA), ``ppermute``'d to the adjacent shard, merged and re-binned
+  (:func:`migrate_and_rebin`).  CFL < 1 bounds per-step drift to one cell,
+  so migration is nearest-neighbour by construction.
+
+If the active box sits closer than the window halfwidth to the global grid
+edge along axis 0, the local strips extend past the global grid; those
+phantom planes are masked per-device via ``Grid.valid_lo/valid_hi`` so the
+basis renormalises exactly as the single-device grid would at its boundary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial, reduce
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import config
+from ..ops import windowed
+from ..types import Grid, Particles
+
+GRID_AXIS = "g"
+
+
+def _prod(xs):
+    return reduce(lambda a, b: a * b, xs, 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class HaloSpec:
+    """Static (hashable) description of the 1-D grid decomposition; lives in
+    step configs as a static field and drives the halo collectives."""
+
+    axis_name: str
+    n_shards: int
+    wlo: int  # ghost planes below = -min(window offsets along axis 0)
+    whi: int  # ghost planes above = +max(...)
+    bc: int   # owned cell planes per shard along axis 0
+    ln: int   # local node planes = bc + wlo + whi
+
+    @property
+    def owned(self):
+        """Local plane slice owned by interior devices."""
+        return slice(self.wlo, self.wlo + self.bc)
+
+
+def plane_owned_mask(spec: HaloSpec) -> jax.Array:
+    """(ln,) bool: which local node planes this device owns.  Interior
+    devices own [wlo, wlo+bc); the first/last device also own the outer
+    ghost planes (no neighbour exists to own them, and only their own
+    particles can reach them)."""
+    j = jnp.arange(spec.ln)
+    dev = jax.lax.axis_index(spec.axis_name)
+    lo_ok = (j >= spec.wlo) | (dev == 0)
+    hi_ok = (j < spec.wlo + spec.bc) | (dev == spec.n_shards - 1)
+    return lo_ok & hi_ok
+
+
+def _as_planes(f: jax.Array, spec: HaloSpec):
+    """(n_local[, c]) node vector → (ln, rest[*c]) plane-major view."""
+    return f.reshape((spec.ln, -1))
+
+
+def halo_exchange_add(f: jax.Array, spec: HaloSpec) -> jax.Array:
+    """Complete a locally-scattered node field: add ghost-plane partial sums
+    into the neighbours' owned planes, then zero the ghosts.  Result is
+    owned-complete / ghost-zero (the invariant every sharded grid vector
+    carries).  The P2G seam of the distributed design (SURVEY.md §7 step 7);
+    replaces the reference's omp-critical scatter (U-Newmark-beta.c:582)."""
+    S, ax = spec.n_shards, spec.axis_name
+    if S == 1:
+        return f
+    shape = f.shape
+    g = _as_planes(f, spec)
+    if spec.wlo > 0:
+        # my bottom ghost slab belongs to the previous shard's top planes
+        from_up = jax.lax.ppermute(
+            g[: spec.wlo], ax, [(s, s - 1) for s in range(1, S)]
+        )
+        g = g.at[spec.bc : spec.bc + spec.wlo].add(from_up)
+    if spec.whi > 0:
+        # my top ghost slab belongs to the next shard's bottom planes
+        from_dn = jax.lax.ppermute(
+            g[spec.wlo + spec.bc :], ax, [(s, s + 1) for s in range(S - 1)]
+        )
+        g = g.at[spec.wlo : spec.wlo + spec.whi].add(from_dn)
+    owned = plane_owned_mask(spec)
+    g = jnp.where(owned[:, None], g, 0.0)
+    return g.reshape(shape)
+
+
+def halo_fill(f: jax.Array, spec: HaloSpec) -> jax.Array:
+    """Fill ghost planes of an owned-complete node field from the
+    neighbours' owned planes (the G2P / edge-gather seam)."""
+    S, ax = spec.n_shards, spec.axis_name
+    if S == 1:
+        return f
+    shape = f.shape
+    g = _as_planes(f, spec)
+    out = g
+    if spec.wlo > 0:
+        # my bottom ghosts mirror the previous shard's top owned planes
+        from_dn = jax.lax.ppermute(
+            g[spec.bc : spec.bc + spec.wlo], ax, [(s, s + 1) for s in range(S - 1)]
+        )
+        out = out.at[: spec.wlo].set(from_dn)
+    if spec.whi > 0:
+        from_up = jax.lax.ppermute(
+            g[spec.wlo : spec.wlo + spec.whi], ax, [(s, s - 1) for s in range(1, S)]
+        )
+        out = out.at[spec.wlo + spec.bc :].set(from_up)
+    # edge devices own their outer planes: keep their own values there
+    owned = plane_owned_mask(spec)
+    out = jnp.where(owned[:, None], g, out)
+    return out.reshape(shape)
+
+
+@dataclasses.dataclass
+class Decomp:
+    """Host-side decomposition bundle (specs + local templates)."""
+
+    spec: HaloSpec
+    global_grid: Grid
+    global_box: windowed.ActiveBox
+    local_grid: Grid  # template: dims/origin only (device frame)
+    local_box: windowed.ActiveBox
+    mig_capacity: int
+
+    @property
+    def n_local_nodes(self) -> int:
+        return self.local_grid.n_nodes
+
+    def base_plane(self, s: int) -> int:
+        """Global node-plane index of the local strip's plane 0 (may be
+        negative / beyond the grid: phantom planes, masked via valid_lo/hi)."""
+        return self.global_box.offset[0] + s * self.spec.bc - self.spec.wlo
+
+    def shift(self, s: int) -> np.ndarray:
+        """World-coordinate shift of device s's frame: x_local = x - shift."""
+        sh = np.zeros(self.global_grid.dim, np.float64)
+        sh[0] = self.global_grid.origin[0] + self.base_plane(s) * self.global_grid.spacing
+        return sh
+
+
+def decompose(
+    grid: Grid,
+    box: windowed.ActiveBox,
+    n_shards: int,
+    offsets: np.ndarray,
+    axis_name: str = GRID_AXIS,
+    mig_capacity: int = None,
+) -> Decomp:
+    """Build the 1-D decomposition of (grid, box) over ``n_shards`` devices.
+
+    ``offsets`` is the shape-function window (K, d) — its axis-0 reach sets
+    the halo width.  Requires ``box.cdims[0]`` divisible by ``n_shards`` and
+    slabs at least one halo wide (nearest-neighbour-only exchange)."""
+    offs0 = np.asarray(offsets)[:, 0]
+    wlo, whi = int(-offs0.min()), int(offs0.max())
+    S = int(n_shards)
+    if box.cdims[0] % S:
+        raise ValueError(
+            f"active box cdims[0]={box.cdims[0]} not divisible by {S} shards; "
+            f"pad the box (windowed.ActiveBox) to a multiple"
+        )
+    bc = box.cdims[0] // S
+    if bc < max(wlo, whi, 1):
+        raise ValueError(
+            f"slab of {bc} cell planes is thinner than the halo "
+            f"(wlo={wlo}, whi={whi}): use fewer shards or a larger box"
+        )
+    ln = bc + wlo + whi
+    spec = HaloSpec(axis_name=axis_name, n_shards=S, wlo=wlo, whi=whi, bc=bc, ln=ln)
+    local_grid = Grid(
+        dims=(ln,) + tuple(grid.dims[1:]),
+        spacing=grid.spacing,
+        origin=(0.0,) + tuple(grid.origin[1:]),
+    )
+    local_box = windowed.ActiveBox(
+        offset=(wlo,) + tuple(box.offset[1:]),
+        cdims=(bc,) + tuple(box.cdims[1:]),
+        capacity=box.capacity,
+    )
+    if mig_capacity is None:
+        # CFL < 1 ⇒ at most one cell plane's worth of particles crosses a
+        # seam per step
+        mig_capacity = box.capacity * _prod(box.cdims[1:])
+    return Decomp(
+        spec=spec,
+        global_grid=grid,
+        global_box=box,
+        local_grid=local_grid,
+        local_box=local_box,
+        mig_capacity=int(mig_capacity),
+    )
+
+
+# ---------------------------------------------------------------------------
+# host-side sharding / unsharding
+# ---------------------------------------------------------------------------
+
+
+def shard_grid(grid: Grid, decomp: Decomp) -> Grid:
+    """Local-strip Grid pytree, stacked over shards on the leading axis
+    (shard with ``P(axis_name)``): Dirichlet/active arrays sliced into the
+    per-device extended strips (phantom planes padded inert), plus the
+    per-device plane-validity scalars."""
+    spec = decomp.spec
+    dims = grid.dims
+    n0 = dims[0]
+
+    def strips(arr, fill):
+        a = np.asarray(arr)
+        trail = a.shape[1:]
+        full = a.reshape(dims + trail)
+        segs = []
+        for s in range(spec.n_shards):
+            base = decomp.base_plane(s)
+            seg = np.full((spec.ln,) + full.shape[1:], fill, a.dtype)
+            lo, hi = max(0, base), min(n0, base + spec.ln)
+            if hi > lo:
+                seg[lo - base : hi - base] = full[lo:hi]
+            segs.append(seg.reshape((-1,) + trail))
+        return jnp.asarray(np.concatenate(segs, axis=0))
+
+    dm = None if grid.dirichlet_mask is None else strips(grid.dirichlet_mask, False)
+    dv = None if grid.dirichlet_value is None else strips(grid.dirichlet_value, 0.0)
+    act = None if grid.active is None else strips(grid.active, False)
+    vlo = jnp.asarray(
+        [max(0, -decomp.base_plane(s)) for s in range(spec.n_shards)], jnp.int32
+    )
+    vhi = jnp.asarray(
+        [min(spec.ln - 1, n0 - 1 - decomp.base_plane(s)) for s in range(spec.n_shards)],
+        jnp.int32,
+    )
+    return decomp.local_grid.replace(
+        dirichlet_mask=dm,
+        dirichlet_value=dv,
+        active=act,
+        valid_lo=vlo,
+        valid_hi=vhi,
+    )
+
+
+def shard_particles(p: Particles, decomp: Decomp) -> Particles:
+    """Bin particles to the shard owning their cell, shift to device frames,
+    and stack the per-device slot layouts on the leading axis (shard with
+    ``P(axis_name)``).  Raises if any active particle fits no shard (outside
+    the box or over capacity)."""
+    spec = decomp.spec
+    parts = []
+    kept = 0
+    for s in range(spec.n_shards):
+        shift = jnp.asarray(decomp.shift(s), p.x.dtype)
+        ps = p.replace(x=p.x - shift)
+        binning = windowed.bin_particles(
+            decomp.local_grid, decomp.local_box, ps.x, ps.active
+        )
+        loc = windowed.permute_to_slots(ps, binning)
+        kept += int(jnp.sum(loc.active))
+        parts.append(loc)
+    n_active = int(jnp.sum(p.active))
+    if kept != n_active:
+        raise ValueError(
+            f"shard_particles: {n_active - kept} active particles fit no "
+            f"shard (outside the active box, or a cell overflowed capacity "
+            f"{decomp.global_box.capacity})"
+        )
+    return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+
+
+def unshard_particles(p_stacked: Particles, decomp: Decomp) -> Particles:
+    """Undo :func:`shard_particles` for I/O: shift device frames back to
+    world coordinates and concatenate (slot padding rides along as inactive
+    rows)."""
+    spec = decomp.spec
+    ns = decomp.local_box.n_slots
+    outs = []
+    for s in range(spec.n_shards):
+        loc = jax.tree_util.tree_map(
+            lambda a: a[s * ns : (s + 1) * ns], p_stacked
+        )
+        shift = jnp.asarray(decomp.shift(s), loc.x.dtype)
+        outs.append(loc.replace(x=loc.x + shift))
+    return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
+
+# ---------------------------------------------------------------------------
+# particle migration (device-side, inside shard_map)
+# ---------------------------------------------------------------------------
+
+
+def _leaf_columns(p: Particles):
+    """Column offsets of the x and active leaves in the flattened SoA."""
+    leaves, _ = jax.tree_util.tree_flatten(p)
+    cols = {}
+    off = 0
+    for a in leaves:
+        ch = int(_prod(a.shape[1:])) if a.ndim > 1 else 1
+        if a is p.x:
+            cols["x"] = off
+        if a is p.active:
+            cols["active"] = off
+        off += ch
+    assert "x" in cols and "active" in cols
+    return cols
+
+
+def migrate_and_rebin(
+    p: Particles,
+    spec: HaloSpec,
+    local_grid: Grid,
+    local_box: windowed.ActiveBox,
+    mig_capacity: int,
+):
+    """Ship particles whose cell left the owned slab to the adjacent shard
+    and re-bin the merged set into the local slot layout.
+
+    The reference has no analog (single-process); this is the particle
+    re-binning leg of the SURVEY §7 step-7 design.  Returns (particles,
+    lost) where ``lost`` counts particles that left the global box, crossed
+    more than one shard per step (CFL violation), or overflowed the
+    migration buffers / cell capacity."""
+    S, ax = spec.n_shards, spec.axis_name
+    h = local_grid.spacing
+    c0 = jnp.floor(p.x[:, 0] / h).astype(jnp.int32)
+    act = p.active
+    godown = act & (c0 < spec.wlo)
+    goup = act & (c0 >= spec.wlo + spec.bc)
+
+    big, soa_specs, treedef = windowed.flatten_soa(p)
+    cols = _leaf_columns(p)
+    xcol, acol = cols["x"], cols["active"]
+    shift = spec.bc * h
+
+    def pack(flag, dx0):
+        order = jnp.argsort(jnp.logical_not(flag), stable=True)  # True rows first
+        idx = order[:mig_capacity]
+        valid = flag[idx]
+        buf = jnp.where(valid[:, None], big[idx], 0.0)
+        buf = buf.at[:, xcol].add(jnp.where(valid, dx0, 0.0))
+        overflow = jnp.sum(flag.astype(jnp.int32)) - jnp.sum(valid.astype(jnp.int32))
+        return buf, overflow
+
+    if S > 1:
+        dbuf, dover = pack(godown, shift)  # shipped down: frame shifts up by bc·h
+        ubuf, uover = pack(goup, -shift)
+        recv_from_up = jax.lax.ppermute(dbuf, ax, [(s, s - 1) for s in range(1, S)])
+        recv_from_dn = jax.lax.ppermute(ubuf, ax, [(s, s + 1) for s in range(S - 1)])
+        stay = act & ~godown & ~goup
+        big = big.at[:, acol].set(stay.astype(jnp.float32))
+        big_all = jnp.concatenate([big, recv_from_up, recv_from_dn], axis=0)
+    else:
+        big_all = big
+        dover = uover = jnp.zeros((), jnp.int32)
+
+    p_all = windowed.unflatten_soa(big_all, soa_specs, treedef)
+    binning = windowed.bin_particles(local_grid, local_box, p_all.x, p_all.active)
+    p_new = windowed.permute_to_slots(p_all, binning)
+
+    if S > 1:
+        dev = jax.lax.axis_index(ax)
+        lost_edge = jnp.where(
+            dev == 0, jnp.sum(godown.astype(jnp.int32)), 0
+        ) + jnp.where(dev == S - 1, jnp.sum(goup.astype(jnp.int32)), 0)
+        lost = (
+            binning.lost
+            + lost_edge
+            + jnp.where(dev > 0, dover, 0)
+            + jnp.where(dev < S - 1, uover, 0)
+        )
+    else:
+        lost = binning.lost
+    return p_new, lost
+
+
+# ---------------------------------------------------------------------------
+# sharded drivers
+# ---------------------------------------------------------------------------
+
+
+def make_mesh(n_devices: int = None, devices=None, axis_name: str = GRID_AXIS) -> Mesh:
+    if devices is None:
+        devices = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def _localize_cfg(cfg, decomp: Decomp):
+    return cfg.replace(
+        transfer="windowed",
+        active_box=decomp.local_box,
+        halo=decomp.spec,
+        axis_name=decomp.spec.axis_name,
+        prebinned=True,
+    )
+
+
+def sharded_explicit_run(mesh: Mesh, decomp: Decomp, cfg, n_steps: int):
+    """jit-ready callable (p_stacked, grid_stacked, mats, body) →
+    (p_stacked', diag) running ``n_steps`` halo-sharded explicit steps with
+    end-of-step particle migration, under shard_map over the grid axis."""
+    from jax import shard_map
+
+    from ..formulations.explicit import explicit_step
+
+    spec = decomp.spec
+    cfgl = _localize_cfg(cfg, decomp)
+    pspec = P(spec.axis_name)
+    rep = P()
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspec, pspec, rep, rep),
+        out_specs=(pspec, rep),
+        check_vma=False,
+    )
+    def run(p, grid, mats, body):
+        def body_fn(carry, _):
+            pp, lost_acc = carry
+            pp, diag = explicit_step(pp, grid, mats, cfgl, body)
+            pp, lost = migrate_and_rebin(
+                pp, spec, grid, decomp.local_box, decomp.mig_capacity
+            )
+            lost = jax.lax.psum(lost, spec.axis_name)
+            return (pp, lost_acc + lost), (
+                diag["kinetic_energy"],
+                diag["strain_energy"],
+                diag["nnz"],
+            )
+
+        (p_out, lost), (ke, se, nnz) = jax.lax.scan(
+            body_fn, (p, jnp.zeros((), jnp.int32)), None, length=n_steps
+        )
+        return p_out, dict(
+            kinetic_energy=ke, strain_energy=se, nnz=nnz, lost=lost
+        )
+
+    return run
+
+
+def sharded_implicit_run(mesh: Mesh, decomp: Decomp, cfg, n_steps: int):
+    """Halo-sharded implicit Newmark run: distributed residual assembly
+    (halo P2G), matrix-free Newton-CG with psum dot products, particle
+    migration per step."""
+    from jax import shard_map
+
+    from ..formulations.implicit import implicit_step
+
+    spec = decomp.spec
+    cfgl = _localize_cfg(cfg, decomp)
+    pspec = P(spec.axis_name)
+    rep = P()
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspec, pspec, rep, rep),
+        out_specs=(pspec, rep),
+        check_vma=False,
+    )
+    def run(p, grid, mats, body):
+        def body_fn(carry, _):
+            pp, lost_acc = carry
+            pp, diag = implicit_step(pp, grid, mats, cfgl, body)
+            pp, lost = migrate_and_rebin(
+                pp, spec, grid, decomp.local_box, decomp.mig_capacity
+            )
+            lost = jax.lax.psum(lost, spec.axis_name)
+            return (pp, lost_acc + lost), (
+                diag["newton_iters"],
+                diag["newton_residual"],
+                diag["converged"],
+            )
+
+        (p_out, lost), (iters, rnorm, conv) = jax.lax.scan(
+            body_fn, (p, jnp.zeros((), jnp.int32)), None, length=n_steps
+        )
+        return p_out, dict(
+            newton_iters=iters, newton_residual=rnorm, converged=conv, lost=lost
+        )
+
+    return run

@@ -54,6 +54,11 @@ def window_nodes(grid: Grid, x: jax.Array, offsets: np.ndarray):
     )
     rel = x[:, None, :] - node_pos
     mask = inb
+    if grid.valid_lo is not None:
+        # halo-sharded local strip: mask phantom planes beyond the global
+        # grid edge (parallel/domain.py) so the basis renormalises exactly
+        # as the single-device grid would at its boundary
+        mask = mask & (multi[..., 0] >= grid.valid_lo) & (multi[..., 0] <= grid.valid_hi)
     if grid.active is not None:
         mask = mask & grid.active[node_ids]
     return node_ids.astype(config.index_dtype()), rel, mask

@@ -54,6 +54,13 @@ class Grid:
     # Dirichlet: per node, per dim: True where displacement is prescribed
     dirichlet_mask: Array = None  # (n_nodes, d) bool or None
     dirichlet_value: Array = None  # (n_nodes, d) prescribed incremental value
+    # Axis-0 plane-validity range (halo-sharded local strips only,
+    # parallel/domain.py): node planes with index outside [valid_lo,
+    # valid_hi] are phantom padding beyond the *global* grid edge and are
+    # masked out of every shape-function window.  Traced scalars so the SPMD
+    # program stays uniform across devices.  None => all planes real.
+    valid_lo: Array = None  # () int32 or None
+    valid_hi: Array = None  # () int32 or None
 
     @property
     def dim(self) -> int:
