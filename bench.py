@@ -88,8 +88,8 @@ def main():
         kinds=(M.NEO_HOOKEAN,),
         transfer=transfer,
         active_box=box,
-        # CFL 0.25 ⇒ ≤ 1 cell of drift over 4 steps (kernel margin covers it)
-        rebin_every=4 if transfer == "pallas" else 1,
+        # pallas default: per-step local rebin (neighbour compaction — no
+        # argsort/gather; CFL 0.25 ⇒ drift ≤ 1 cell per step as required)
     )
     body = jnp.zeros((2,), jnp.float32)
 

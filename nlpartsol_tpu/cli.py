@@ -38,7 +38,8 @@ def main(argv=None):
         choices=["scatter", "windowed", "pallas"],
         default="windowed",
         help="particle<->grid engine: 'windowed' (scatter-free XLA; default), "
-        "'pallas' (fused TPU kernels; explicit 2D LME), 'scatter' (general fallback)",
+        "'pallas' (fused TPU kernels; explicit+implicit 2D LME -u), "
+        "'scatter' (general fallback)",
     )
     ap.add_argument("--platform", default=None, help="jax platform override (e.g. cpu)")
     ap.add_argument("--steps", type=int, default=None, help="override N time steps")

@@ -68,6 +68,12 @@ class ExplicitConfig:
     # max drift ≤ 1 cell between re-binnings: rebin_every ≤ 1/CFL.  Kills
     # the per-step argsort+permute (the profiled top cost at large Np).
     rebin_every: int = struct.field(pytree_node=False, default=1)
+    # pallas rebin mode: 'local' (end-of-step neighbour compaction on the
+    # slot layout, windowed.local_rebin — no sort, no gather; requires the
+    # slot invariant to hold at step start, i.e. drift ≤ 1 cell per step =
+    # CFL ≤ 1) or 'global' (argsort binning at step start, the round-1
+    # flow; required when tractions are passed or rebin_every > 1)
+    rebin_mode: str = struct.field(pytree_node=False, default="local")
     # block-partitioned grid strip (parallel/domain.HaloSpec); grid and
     # active_box are then the LOCAL templates and transfers halo-exchange
     halo: object = struct.field(pytree_node=False, default=None)
@@ -309,9 +315,16 @@ def _explicit_step_pallas(
     box = cfg.active_box
     dt, gamma, d = cfg.dt, cfg.gamma, p.dim
     C, nc = box.capacity, box.n_cells
-    margin = 0 if cfg.rebin_every == 1 else 1
-
-    if cfg.rebin_every > 1 and rebin is not None:
+    local_mode = cfg.rebin_mode == "local" and traction is None
+    if local_mode:
+        # particles arrive on the slot invariant (binned to their cells by
+        # to_slot_layout / the previous step's end-of-step local_rebin), so
+        # the kernel window needs no drift margin; re-binning happens at the
+        # END of the step via neighbour compaction (windowed.local_rebin)
+        margin = 0
+        lost = jnp.zeros((), jnp.int32)
+    elif cfg.rebin_every > 1 and rebin is not None:
+        margin = 1
         if traction is not None:
             raise ValueError("tractions require rebin_every=1")
 
@@ -323,6 +336,7 @@ def _explicit_step_pallas(
             rebin, _do_rebin, lambda pp: (pp, jnp.zeros((), jnp.int32)), p
         )
     else:
+        margin = 0 if cfg.rebin_every == 1 else 1
         binning = windowed.bin_particles(grid, box, p.x, p.active)
         if traction is not None:
             idx = jnp.minimum(binning.slot_particle, traction.shape[0] - 1)
@@ -466,6 +480,9 @@ def _explicit_step_pallas(
     )
     ke = 0.5 * jnp.sum(p.mass[:, None] * v_new * v_new, where=act[:, None])
     se = jnp.sum(cs.W * p.vol0, where=act)
+    if local_mode:
+        # restore the slot invariant for the next step (no sort, no gather)
+        p_out, lost = windowed.local_rebin(p_out, grid, box)
     if cfg.axis_name is not None:
         nnz = jax.lax.psum(nnz, cfg.axis_name)
         ke = jax.lax.psum(ke, cfg.axis_name)

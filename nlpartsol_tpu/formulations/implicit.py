@@ -101,6 +101,11 @@ class ImplicitConfig:
     halo: object = struct.field(pytree_node=False, default=None)
     # particles already in slot layout: skip the step's own binning
     prebinned: bool = struct.field(pytree_node=False, default=False)
+    # pallas rebin mode (see ExplicitConfig.rebin_mode): 'local' requires
+    # the slot invariant at step entry AND per-step particle displacement
+    # ≤ 1 cell (implicit steps can exceed CFL — losses are counted loudly);
+    # 'global' argsort-bins at step start
+    rebin_mode: str = struct.field(pytree_node=False, default="local")
 
 
 def edge_force_jacobian(fi_fn, grad0: jax.Array) -> jax.Array:
@@ -134,6 +139,10 @@ def implicit_step(
     traction_area: Optional[jax.Array] = None,
 ):
     """One implicit Newmark-β (or quasi-static) step."""
+    if cfg.transfer == "pallas":
+        return _implicit_step_pallas(
+            p, grid, mats, cfg, body_accel, traction, traction_area
+        )
     d = p.dim
     n_nodes = grid.n_nodes
     nm = newmark_parameters(cfg.beta, cfg.gamma, cfg.dt)
@@ -331,6 +340,218 @@ def implicit_step(
     return p_out, diag_out
 
 
+def _linear_op(fn):
+    """Wrap a LINEAR function of one array with a custom JVP equal to
+    itself — lets forward-mode AD (the matrix-free Newton-CG J·v) flow
+    through Pallas kernels, which are not natively differentiable."""
+    f = jax.custom_jvp(fn)
+
+    @f.defjvp
+    def _jvp(primals, tangents):
+        (x,) = primals
+        (t,) = tangents
+        return fn(x), fn(t)
+
+    return f
+
+
+def _implicit_step_pallas(
+    p: Particles,
+    grid: Grid,
+    mats: MaterialTable,
+    cfg: ImplicitConfig,
+    body_accel: jax.Array,
+    traction: Optional[jax.Array] = None,
+    traction_area: Optional[jax.Array] = None,
+):
+    """Fused-Pallas implicit Newmark-β step (2D LME).
+
+    Physics identical to the windowed path; no (Ns, K, ·) edge tensor is
+    ever materialised.  Each Newton-CG matvec costs exactly one fused
+    gradient-gather + one fused G-scatter (the kernels of
+    ops/pallas_transfer.py), wrapped in linearity-exploiting custom JVPs so
+    jax.jvp differentiates through them.  λ is solved once per step (first
+    scatter) and frozen through the Newton loop, exactly like the windowed
+    path's one-shot shape-function evaluation.
+    Reference being replaced: U-Newmark-beta.c:130-432 (SNES + AIJ +
+    PCJACOBI)."""
+    from ..ops import pallas_transfer as pt
+
+    if cfg.shapefun != "lme":
+        raise ValueError("pallas transfer currently implements LME only")
+    if grid.dim != 2:
+        raise ValueError("pallas transfer is 2D; use transfer='windowed' for 3D")
+    if cfg.precond == "block-jacobi":
+        raise ValueError("pallas implicit supports precond='jacobi' only")
+    box = cfg.active_box
+    d = p.dim
+    n_nodes = grid.n_nodes
+    nm = newmark_parameters(cfg.beta, cfg.gamma, cfg.dt)
+    C, nc = box.capacity, box.n_cells
+
+    local_mode = cfg.rebin_mode == "local" and traction is None and not cfg.prebinned
+    lost = jnp.zeros((), jnp.int32)
+    if not local_mode and not cfg.prebinned:
+        binning = windowed.bin_particles(grid, box, p.x, p.active)
+        if traction is not None:
+            idx = jnp.minimum(binning.slot_particle, traction.shape[0] - 1)
+            traction = jnp.where(binning.valid[:, None], traction[idx], 0.0)
+            traction_area = jnp.where(binning.valid, traction_area[idx], 0.0)
+        p = windowed.permute_to_slots(p, binning)
+        lost = binning.lost
+    act = p.active
+
+    x_t = pt.to_channel_leading(p.x, C, nc)
+    lam_t = pt.to_channel_leading(p.lme_lambda, C, nc)
+    act_t = pt.to_channel_leading(act.astype(p.x.dtype), C, nc)
+
+    # --- scatter #1 (solves λ): mass, v/a momenta, traction, Jacobi diag
+    lam_p, G_p = lame_parameters(mats.E[p.mat_id], mats.nu[p.mat_id])
+    stiff_scale = (lam_p + 2.0 * G_p) * p.vol0
+    chans = [p.mass,
+             p.mass * p.v[:, 0], p.mass * p.v[:, 1],
+             p.mass * p.a[:, 0], p.mass * p.a[:, 1]]
+    if traction is not None:
+        chans += [traction_area * traction[:, 0], traction_area * traction[:, 1]]
+    chans += [stiff_scale]  # LAST channel doubles as the gnorm weight
+    fN = jnp.stack([pt.to_channel_leading(c, C, nc)[0] for c in chans])
+    nodes1, lam_new, nnz = pt.fused_scatter(
+        grid, box, cfg.lme_params, x_t, lam_t, act_t, fN, solve=True,
+        gnorm=True,
+    )
+    lam_f = lam_new  # frozen through the Newton loop
+    m_nodes = nodes1[:, 0]
+    m_safe = jnp.maximum(m_nodes, cfg.mass_tol)[:, None]
+    has_mass = (m_nodes > cfg.mass_tol)[:, None]
+    Un_dt = nodes1[:, 1:3] / m_safe
+    Un_dt2 = nodes1[:, 3:5] / m_safe
+    f_tra = nodes1[:, 5:7] if traction is not None else None
+    diag_K = nodes1[:, -1]
+
+    if grid.dirichlet_mask is not None:
+        free = has_mass & ~grid.dirichlet_mask
+        dU_dirichlet = jnp.where(grid.dirichlet_mask, grid.dirichlet_value, 0.0)
+    else:
+        free = has_mass
+        dU_dirichlet = jnp.zeros((n_nodes, d), p.x.dtype)
+
+    grad_gather = _linear_op(
+        lambda nodes: pt.fused_gather(
+            grid, box, cfg.lme_params, x_t, lam_f, act_t, g_grad=nodes
+        )[1]
+    )
+    dummy1 = pt.to_channel_leading(jnp.zeros_like(p.mass), C, nc)
+    g_scatter = _linear_op(
+        lambda G: pt.fused_scatter(
+            grid, box, cfg.lme_params, x_t, lam_f, act_t, dummy1,
+            G_t=pt.to_channel_leading(G.reshape(-1, 4), C, nc), solve=False,
+        )[0][:, 1:3]
+    )
+
+    vel_const_nodes = (nm.alpha_5 - 1.0) * Un_dt + nm.alpha_6 * Un_dt2
+    grad_vel_const = grad_gather(vel_const_nodes)
+
+    def local_state_of_grad(grad_du):
+        DF = grad_du + jnp.eye(d, dtype=grad_du.dtype)
+        F_n1 = tn.bmm(DF, p.F)
+        dt_DF = nm.alpha_4 * grad_du + grad_vel_const
+        dFdt_n1 = kin.rate_deformation_gradient_n1(dt_DF, p.F, DF, p.dFdt)
+        cs = con.stress_integration(
+            F_n1=F_n1, DF=DF, dFdt_n1=dFdt_n1, bemi=p.bemi, bemi_zz=p.bemi_zz,
+            eps=p.eps, kappa=p.kappa, back_stress=p.back_stress,
+            mat_id=p.mat_id, mats=mats, kinds=cfg.kinds,
+        )
+        return DF, F_n1, dFdt_n1, cs
+
+    def residual(dU_free):
+        dU = jnp.where(free, dU_free, dU_dirichlet)
+        grad_du = grad_gather(dU)
+        DF, _, _, cs = local_state_of_grad(grad_du)
+        tau_eff = cs.tau * (1.0 - p.damage)[:, None, None]
+        # internal forces: R_A = Σ_p G·∇N_A with G = V0·τ_eff·DF⁻ᵀ
+        G = tn.bmm(tau_eff * p.vol0[:, None, None], tn.inv_transpose(DF))
+        R = g_scatter(G)
+        if f_tra is not None:
+            R = R - f_tra
+        if cfg.quasi_static:
+            R = R - m_nodes[:, None] * body_accel[None, :]
+        else:
+            R = R + m_nodes[:, None] * (
+                nm.alpha_1 * dU
+                - nm.alpha_2 * Un_dt
+                - nm.alpha_3 * Un_dt2
+                - body_accel[None, :]
+            )
+        return jnp.where(free, R, 0.0)
+
+    diag = diag_K[:, None] + (
+        0.0 if cfg.quasi_static else nm.alpha_1 * m_nodes[:, None]
+    )
+    diag = jnp.where(free, jnp.maximum(diag, 1e-30), 1.0)
+
+    def M_inv(r):
+        return r / diag
+
+    res = solvers.newton_krylov(
+        residual,
+        jnp.zeros((n_nodes, d), p.x.dtype),
+        M_inv=M_inv,
+        tol=cfg.newton_tol,
+        maxiter=cfg.newton_maxiter,
+        cg_tol=cfg.cg_tol,
+        cg_maxiter=cfg.cg_maxiter,
+    )
+    dU = jnp.where(free, res.x, dU_dirichlet)
+
+    dU_dt = nm.alpha_4 * dU + (nm.alpha_5 - 1.0) * Un_dt + nm.alpha_6 * Un_dt2
+    dU_dt2 = nm.alpha_1 * dU - nm.alpha_2 * Un_dt - (nm.alpha_3 + 1.0) * Un_dt2
+
+    grad_final = grad_gather(dU)
+    DF, F_n1, dFdt_n1, cs = local_state_of_grad(grad_final)
+    J_n1 = tn.det(F_n1)
+    J_n1 = jnp.where(J_n1 > 0.0, J_n1, 0.0)
+
+    a_blend = cfg.alpha_blend
+    gfields = jnp.concatenate(
+        [dU, dU_dt + (1.0 - a_blend) * Un_dt, dU_dt2], axis=1
+    )
+    gout, _ = pt.fused_gather(
+        grid, box, cfg.lme_params, x_t, lam_f, act_t, gN=gfields
+    )
+    dis_inc, dv, da = gout[:, 0:2], gout[:, 2:4], gout[:, 4:6]
+
+    sel = act[:, None]
+    p_out = p.replace(
+        x=jnp.where(sel, p.x + dis_inc, p.x),
+        dis=jnp.where(sel, p.dis + dis_inc, p.dis),
+        v=jnp.where(sel, a_blend * p.v + dv, p.v),
+        a=jnp.where(sel, p.a + da, p.a),
+        rho=p.mass / (p.vol0 * jnp.maximum(J_n1, 1e-12)),
+        F=F_n1,
+        dFdt=dFdt_n1,
+        J=J_n1,
+        bemi=cs.bemi,
+        bemi_zz=cs.bemi_zz,
+        stress=cs.tau,
+        stress_zz=cs.tau_zz,
+        eps=cs.eps,
+        kappa=cs.kappa,
+        back_stress=cs.back_stress,
+        W=cs.W,
+        lme_lambda=pt.from_channel_leading(lam_f),
+    )
+    if local_mode:
+        p_out, lost = windowed.local_rebin(p_out, grid, box)
+    diag_out = dict(
+        nnz=nnz,
+        newton_iters=res.iters,
+        newton_residual=res.residual_norm,
+        converged=res.converged,
+        lost=lost,
+    )
+    return p_out, diag_out
+
+
 def assemble_tangent(
     p: Particles,
     grid: Grid,
@@ -416,7 +637,7 @@ def run(
 ):
     if body_accel is None:
         body_accel = jnp.zeros((p.dim,), p.x.dtype)
-    if cfg.transfer == "windowed":
+    if cfg.transfer in ("windowed", "pallas"):
         from .explicit import to_slot_layout
 
         p = to_slot_layout(p, grid, cfg.active_box)

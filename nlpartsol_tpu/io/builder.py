@@ -27,6 +27,7 @@ from .nlp_parser import (
     find,
     find_all,
     parse_nlp,
+    parse_vector,
     read_curve_file,
     read_node_list,
 )
@@ -270,6 +271,65 @@ def build_simulation(path: str) -> SimulationSetup:
             if comp is not None:
                 v0[ids, comp] = float(val)
         particles = particles.replace(v=jnp.asarray(v0))
+
+    # --- hydrostatic initial stress (NLPS-Hidrostatic-Condition.c) ---
+    # P(x) = −ρ·g·⟨(x − X₀)·dir⟩ + P₀ added to the stress diagonal (+zz).
+    # TPU-build extension: the equivalent isotropic elastic left Cauchy-Green
+    # is initialised too, so state-driven models (b_e-based return mappings)
+    # actually carry the prestress — the reference only writes Phi.Stress,
+    # which its own Stress_integration overwrites on step 1.
+    for hc in find_all(blocks, "Hydrostatic-condition", "Hidrostatic-condition"):
+        pf = hc.attrs.get("Particles") or hc.props.get("Particles")
+        if pf:
+            el_ids = read_node_list(os.path.join(base, str(pf)))
+            ids = (el_ids[:, None] * gpx + np.arange(gpx)[None, :]).reshape(-1)
+        else:
+            ids = np.arange(len(pos))
+        origin_v = parse_vector(hc.props.get("Origin", "{0;0;0}"))
+        direction = parse_vector(hc.props.get("Direction", "{0;-1;0}"))
+        g_mag = float(hc.props.get("Gravity", 0.0))
+        mi = int(hc.props.get("MatIndx", 0))
+        rho_m = float(np.asarray(mats.rho0)[mi])
+        P0 = float(np.asarray(mats.reference_pressure)[mi])
+        dist = (pos[ids] - origin_v[:d]) @ direction[:d]
+        P = -rho_m * g_mag * dist + P0
+        st = np.asarray(particles.stress).copy()
+        szz = np.asarray(particles.stress_zz).copy()
+        for j in range(d):
+            st[ids, j, j] += P
+        szz[ids] += P
+        # consistent isotropic b_e: E_h = P(1−2ν)/E per principal component
+        E_m = float(np.asarray(mats.E)[mi])
+        nu_m = float(np.asarray(mats.nu)[mi])
+        Eh = P * (1.0 - 2.0 * nu_m) / E_m
+        be_d = np.exp(2.0 * Eh) - 1.0
+        bemi = np.asarray(particles.bemi).copy()
+        bemi_zz = np.asarray(particles.bemi_zz).copy()
+        for j in range(d):
+            bemi[ids, j, j] = be_d
+        bemi_zz[ids] = be_d
+        particles = particles.replace(
+            stress=jnp.asarray(st), stress_zz=jnp.asarray(szz),
+            bemi=jnp.asarray(bemi), bemi_zz=jnp.asarray(bemi_zz),
+        )
+
+    # --- nodal initial values interpolated to particles
+    # (NLPS-Initial-condition-nodes.c) ---
+    for icn in find_all(blocks, "Initial-nodal-values"):
+        nf = icn.attrs.get("NODES", icn.attrs.get("Nodes"))
+        nids = gid2flat[read_node_list(os.path.join(base, str(nf)))]
+        vel = parse_vector(str(icn.props.get("VELOCITY", "[0,0,0]")))
+        field = np.zeros((n_nodes, d))
+        field[nids] = vel[:d]
+        # interpolate with the background multilinear basis (the reference
+        # interpolates through the FEM background mesh shape functions)
+        from ..shapefun import fem
+
+        sf = fem.evaluate(grid, jnp.asarray(pos, config.dtype()))
+        sf = sf[0] if isinstance(sf, tuple) else sf
+        N = np.asarray(jnp.where(sf["mask"], sf["N"], 0.0))
+        vp = np.einsum("pk,pkc->pc", N, np.asarray(field)[np.asarray(sf["node_ids"])])
+        particles = particles.replace(v=jnp.asarray(np.asarray(particles.v) + vp))
 
     # --- gravity ---
     n_curve = max(sp.n_steps, 1)

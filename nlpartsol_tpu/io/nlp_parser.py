@@ -120,12 +120,23 @@ def parse_nlp_text(text: str) -> List[Block]:
             if opened:
                 stack.append(blk)
             continue
-        # bare 'Keyword {'
+        # bare 'Keyword {' (or 'Keyword' with '{' on the next line)
         toks = line.replace("{", " { ").split()
         if len(toks) >= 1 and toks[-1] == "{":
             blk = Block(keyword=toks[0])
             stack[-1].children.append(blk)
             stack.append(blk)
+            continue
+        if (
+            len(toks) == 1
+            and "=" not in line
+            and i < len(lines)
+            and lines[i].strip().startswith("{")
+        ):
+            blk = Block(keyword=toks[0])
+            stack[-1].children.append(blk)
+            stack.append(blk)
+            i += 1
             continue
         # Property=value
         if "=" in line and len(line.split("=")) == 2 and " " not in line.split("=")[0].strip():
@@ -163,6 +174,16 @@ def read_node_list(path: str) -> np.ndarray:
                 continue
             ids.extend(int(t) for t in line.split())
     return np.asarray(ids, np.int64) - 1
+
+
+def parse_vector(s) -> np.ndarray:
+    """Parse the reference's vector literals: '{0 ; 10}' (Read_Vector,
+    NLPS-Read-Tools.c) or '[5.0,0.0,0.0]' (Initial-nodal-values)."""
+    t = str(s).strip().strip("{}[]()")
+    for sep in (";", ","):
+        t = t.replace(sep, " ")
+    vals = [float(v) for v in t.split()]
+    return np.asarray(vals, np.float64)
 
 
 def read_curve_file(path: str, n_steps: int) -> np.ndarray:

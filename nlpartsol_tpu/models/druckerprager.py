@@ -88,6 +88,7 @@ def drucker_prager(
     p_ref=0.0,
     n_iter: int = 15,
     tol: float = 1e-10,
+    ref_vol_compat: bool = False,
 ) -> DruckerPragerOut:
     del cohesion  # carried by kappa0 in the reference's parameterisation
     d = bemi.shape[-1]
@@ -103,10 +104,14 @@ def drucker_prager(
     # (:726-729) and flips sign at reconstruction; we keep the physical sign.
     # NOTE: the reference uses K·tr(E)/3 (Drucker-Prager.c:726), a bulk
     # response 3× too soft (same bug as Von-Mises.c:499); we use K·tr(E).
-    T_vol = (p_ref + K * trEh)[..., None] * jnp.ones_like(Eh_tr)
+    # The plastic corrector uses the full K (3K·α_Q·dγ, :1416) in BOTH, so
+    # ``ref_vol_compat=True`` scales only the trial term — the golden tests
+    # (tests/test_reference_golden.py) verify this is the only deviation.
+    K_vol = K / 3.0 if ref_vol_compat else K
+    T_vol = (p_ref + K_vol * trEh)[..., None] * jnp.ones_like(Eh_tr)
     T_dev = 2.0 * G[..., None] * (Eh_tr - (trEh / 3.0)[..., None])
     # reference "pressure" = −mean stress
-    pressure = -(p_ref + K * trEh)
+    pressure = -(p_ref + K_vol * trEh)
     J2 = jnp.sqrt(jnp.sum(T_dev * T_dev, axis=-1))
 
     kappa_n = kappa

@@ -70,6 +70,7 @@ def von_mises(
     delta,
     n_iter: int = 12,
     tol: float = 1e-10,
+    ref_vol_compat: bool = False,
 ) -> VonMisesOut:
     """Batched stress update.  All material args broadcast over the batch."""
     K, G = bulk_shear(E, nu)
@@ -81,7 +82,11 @@ def von_mises(
     # Volumetric stress σ_m = K·tr(E) per principal component.  NOTE: the
     # reference computes K·tr(E)/3 here (__trial_elastic, Von-Mises.c:499),
     # i.e. a bulk response 3× too soft — a bug we do not reproduce.
-    T_vol = (K * trEh)[..., None] * jnp.ones_like(Eh_tr)
+    # ``ref_vol_compat=True`` restores the reference's K/3 trial term so the
+    # head-to-head golden tests (tests/test_reference_golden.py) can verify
+    # that this is the ONLY difference between the two return mappings.
+    K_vol = K / 3.0 if ref_vol_compat else K
+    T_vol = (K_vol * trEh)[..., None] * jnp.ones_like(Eh_tr)
     T_dev = 2.0 * G[..., None] * (Eh_tr - (trEh / 3.0)[..., None]) - back_stress
     J2 = jnp.sqrt(jnp.sum(T_dev * T_dev, axis=-1))
 
@@ -119,8 +124,14 @@ def von_mises(
 
     # Stress in principal space (elastic: vol+dev(with −back); plastic:
     # re-add back and subtract the plastic corrector — Von-Mises.c:652-661)
+    # NOTE: the reference's plastic branch uses −T_vol
+    # (__update_internal_variables_plastic, Von-Mises.c — sign-inconsistent
+    # with its own elastic branch, +T_tr_vol).  We use +T_vol in both;
+    # ref_vol_compat reproduces the reference's sign so the golden tests can
+    # pin the deviation (tests/test_reference_golden.py).
+    T_vol_pl = -T_vol if ref_vol_compat else T_vol
     T_elastic = T_vol + T_dev
-    T_plastic = T_vol + T_dev + back_stress - (2.0 * G * d_gamma)[..., None] * n_dir
+    T_plastic = T_vol_pl + T_dev + back_stress - (2.0 * G * d_gamma)[..., None] * n_dir
     T_ppal = jnp.where(plastic[..., None], T_plastic, T_elastic)
 
     back_out = jnp.where(

@@ -64,6 +64,11 @@ def _offs(w: int):
 class _Geom:
     """Static geometry shared by both kernels."""
 
+    #: cell rows processed per kernel program — elementwise math runs on
+    #: flat (R·C, c1p) tiles so VPU ops amortise over 8 sublane tiles
+    #: instead of one partially-filled (C, c1p) tile per program.
+    R = 8
+
     def __init__(self, grid: Grid, box: windowed.ActiveBox, params: lme_mod.LMEParams,
                  margin: int = 0):
         assert grid.dim == 2, "pallas transfer is 2D; windowed engine covers 3D"
@@ -80,15 +85,22 @@ class _Geom:
         self.K = self.K1 * self.K1
         self.c0, self.c1 = box.cdims
         self.c1p = ((self.c1 + 127) // 128) * 128  # 128-aligned lane width
+        # scatter bank width: cell cols + 2w window spill, 128-aligned
+        self.c1p2 = ((self.c1 + 2 * self.w + 127) // 128) * 128
         self.C = box.capacity
         self.nc = box.n_cells
         self.n0, self.n1 = grid.dims
         self.o0, self.o1 = box.offset  # box cell origin (grid frame)
+        self.c0p = ((self.c0 + self.R - 1) // self.R) * self.R
+        self.nprog = self.c0p // self.R
+        self.RC = self.R * self.C
         self.params = params
 
 
 def _basis_terms(g: _Geom, x0, x1, lam0, lam1, act, cy):
-    """Per-offset closures: rel components and validity for offset (o0, o1)."""
+    """Per-offset closures: rel components and validity for offset (o0, o1).
+
+    ``cy`` is the cell row per element (array broadcastable to x0.shape)."""
     h = g.h
     c1_idx = jax.lax.broadcasted_iota(jnp.int32, x0.shape, 1).astype(jnp.float32)
     cyf = cy.astype(jnp.float32)
@@ -102,7 +114,7 @@ def _basis_terms(g: _Geom, x0, x1, lam0, lam1, act, cy):
     cyi = cy.astype(jnp.int32)
 
     def valid(o0, o1):
-        i0 = g.o0 + o0 + cyi  # scalar
+        i0 = g.o0 + o0 + cyi
         in0 = (i0 >= 0) & (i0 <= g.n0 - 1)
         i1 = c1_idx + (g.o1 + o1)
         in1 = (i1 >= 0) & (i1 <= g.n1 - 1)
@@ -111,38 +123,92 @@ def _basis_terms(g: _Geom, x0, x1, lam0, lam1, act, cy):
     return rel, valid
 
 
-def _softmax_into(g: _Geom, rel, valid, lam0, lam1, f_scr):
-    """Fill f_scr[k] with exp(f_k − fmax) (0 where masked); return Z."""
+def _row_iota(g: _Geom):
+    """(RC, c1p) int32: cell row (within the program's 8-row block) of each
+    flat element — flat layout is (row, capacity) row-major."""
+    return jax.lax.broadcasted_iota(jnp.int32, (g.RC, g.c1p), 0) // g.C
+
+
+def _row_sum_matrix(g: _Geom):
+    """(R, RC) f32 selection matrix: dot(sel, flat) sums capacity slots of
+    each cell row — an MXU-friendly segment reduction."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (g.R, g.RC), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (g.R, g.RC), 1)
+    return (j // g.C == i).astype(jnp.float32)
+
+
+def _row_rep_matrix(g: _Geom):
+    """(RC, R) f32: dot(rep, rows8) repeats each of 8 node-row values into
+    the C capacity slots of that cell row."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (g.RC, g.R), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (g.RC, g.R), 1)
+    return (i // g.C == j).astype(jnp.float32)
+
+
+def _to_view(g: _Geom, a: jax.Array, ch: int) -> jax.Array:
+    """(ch, C, nc) slot array → (nprog, ch, R·C, c1p) kernel view (flat
+    row-major (row, capacity) sublane axis; zero-padded rows/lanes)."""
+    v = jnp.moveaxis(a.reshape((ch, g.C, g.c0, g.c1)), 2, 0)  # (c0, ch, C, c1)
+    v = jnp.pad(v, ((0, g.c0p - g.c0), (0, 0), (0, 0), (0, g.c1p - g.c1)))
+    v = v.reshape(g.nprog, g.R, ch, g.C, g.c1p).transpose(0, 2, 1, 3, 4)
+    return v.reshape(g.nprog, ch, g.RC, g.c1p)
+
+
+def _from_view(g: _Geom, v: jax.Array, ch: int) -> jax.Array:
+    """Inverse of :func:`_to_view`: (nprog, ch, RC, c1p) → (ch, C, nc)."""
+    v = v.reshape(g.nprog, ch, g.R, g.C, g.c1p).transpose(0, 2, 1, 3, 4)
+    v = v.reshape(g.c0p, ch, g.C, g.c1p)[: g.c0, :, :, : g.c1]
+    return jnp.moveaxis(v, 0, 2).reshape(ch, g.C, g.nc)
+
+
+def _slot_spec(g: _Geom, ch: int):
+    return pl.BlockSpec(
+        (1, ch, g.RC, g.c1p), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _basis_passes(g: _Geom, rel, valid, lam0, lam1):
+    """Storage-free basis evaluation: returns (e_of, fmax, Z, cnt) where
+    ``e_of(o0, o1, fmax)`` recomputes the masked unnormalised exponential for
+    one window offset.  Recompute-over-store keeps kernel VMEM flat in K
+    (a (K, RC, c1p) scratch at K = 81 alone overflows the 16 MB budget)."""
     neg = jnp.float32(-1e30)
+
+    def f_of(o0, o1):
+        r0, r1 = rel(o0, o1)
+        r2 = r0 * r0 + r1 * r1
+        f = -g.beta * r2 + lam0 * r0 + lam1 * r1
+        return jnp.where(valid(o0, o1) & (r2 <= g.r2max), f, neg)
+
     shape = lam0.shape
     fmax = jnp.full(shape, neg, jnp.float32)
-    k = 0
     for o0 in _offs(g.w):
         for o1 in _offs(g.w):
-            r0, r1 = rel(o0, o1)
-            r2 = r0 * r0 + r1 * r1
-            f = -g.beta * r2 + lam0 * r0 + lam1 * r1
-            f = jnp.where(valid(o0, o1) & (r2 <= g.r2max), f, neg)
-            f_scr[k] = f
-            fmax = jnp.maximum(fmax, f)
-            k += 1
+            fmax = jnp.maximum(fmax, f_of(o0, o1))
+
+    def e_of(o0, o1):
+        f = f_of(o0, o1)
+        return jnp.where(f > neg * 0.5, jnp.exp(f - fmax), 0.0)
+
     Z = jnp.zeros(shape, jnp.float32)
-    for k in range(g.K):
-        e = jnp.where(f_scr[k] > neg * 0.5, jnp.exp(f_scr[k] - fmax), 0.0)
-        f_scr[k] = e
-        Z = Z + e
-    return Z
+    cnt = jnp.zeros(shape, jnp.float32)
+    for o0 in _offs(g.w):
+        for o1 in _offs(g.w):
+            e = e_of(o0, o1)
+            Z = Z + e
+            cnt = cnt + (e > 0.0).astype(jnp.float32)
+    return e_of, fmax, Z, cnt
 
 
-def _r_and_J(g: _Geom, rel, p_of_k):
-    """r = Σ p·l; J = Σ p·l⊗l − r⊗r (LME.c:766,795)."""
-    z = None
+def _r_and_J(g: _Geom, rel, p_of):
+    """r = Σ p·l; J = Σ p·l⊗l − r⊗r (LME.c:766,795).  ``p_of(o0,o1,k)``
+    yields the normalised shape value for one offset."""
     r0 = r1 = j00 = j01 = j11 = None
     k = 0
     for o0 in _offs(g.w):
         for o1 in _offs(g.w):
             l0, l1 = rel(o0, o1)
-            p = p_of_k(k)
+            p = p_of(o0, o1, k)
             if k == 0:
                 r0 = p * l0
                 r1 = p * l1
@@ -180,48 +246,72 @@ def _inv2_damped(j00, j01, j11):
 # ---------------------------------------------------------------------------
 
 
-def _make_scatter_kernel(g: _Geom, cN: int, has_G: bool, solve: bool):
+def _make_scatter_kernel(g: _Geom, cN: int, has_G: bool, solve: bool,
+                         gnorm: bool = False):
+    """8-cell-row program on flat (RC, c1p) tiles.  Lane-axis window offsets
+    (o1) are folded INSIDE the kernel by pltpu.roll into per-row banks, so
+    the kernel emits K1 = 2w+1 row-offset banks instead of K = (2w+1)²
+    full-window banks — 1/K1 the HBM intermediate traffic of the round-1
+    design (the profiled top cost of the fused step after rebinning)."""
     w, K, K1 = g.w, g.K, g.K1
-    T = g.c1
     mx = g.params.max_iter
     tol2 = g.params.tol_lambda * g.params.tol_lambda * g.r2max
+    cout = cN + (2 if has_G else 0) + (1 if gnorm else 0)
+    need_dn = has_G or gnorm
 
     def kernel(x_ref, lam_ref, act_ref, fN_ref, G_ref, out_ref, lam_out_ref,
-               cnt_ref, f_scr):
-        cy = pl.program_id(0)
+               cnt_ref):
+        cy0 = pl.program_id(0) * g.R
         x0 = x_ref[0, 0]
         x1 = x_ref[0, 1]
         act = act_ref[0, 0] > 0.5
         lam0 = lam_ref[0, 0]
         lam1 = lam_ref[0, 1]
+        cy = cy0 + _row_iota(g)
         rel, valid = _basis_terms(g, x0, x1, lam0, lam1, act, cy)
+        sel = _row_sum_matrix(g)
 
         if solve:
-            # λ Newton with tile-level early exit (LME.c:272-353)
+            # λ Newton with block-level early exit (LME.c:272-353).  Two
+            # sweeps per iteration (fmax, then e-weighted moments) — no K-way
+            # f storage, so register pressure stays flat at RC sublanes.
             def body(state):
                 lam0, lam1, _, it = state
-                f_list = [None] * K
                 neg = jnp.float32(-1e30)
                 fmax = jnp.full(x0.shape, neg, jnp.float32)
-                k = 0
+
+                def f_of(o0, o1):
+                    r0_, r1_ = rel(o0, o1)
+                    r2 = r0_ * r0_ + r1_ * r1_
+                    f = -g.beta * r2 + lam0 * r0_ + lam1 * r1_
+                    return jnp.where(valid(o0, o1) & (r2 <= g.r2max), f, neg)
+
                 for o0 in _offs(w):
                     for o1 in _offs(w):
-                        r0_, r1_ = rel(o0, o1)
-                        r2 = r0_ * r0_ + r1_ * r1_
-                        f = -g.beta * r2 + lam0 * r0_ + lam1 * r1_
-                        f = jnp.where(valid(o0, o1) & (r2 <= g.r2max), f, neg)
-                        f_list[k] = f
-                        fmax = jnp.maximum(fmax, f)
-                        k += 1
-                Z = jnp.zeros(x0.shape, jnp.float32)
-                for k in range(K):
-                    e = jnp.where(f_list[k] > neg * 0.5, jnp.exp(f_list[k] - fmax), 0.0)
-                    f_list[k] = e
-                    Z = Z + e
-                Zs = jnp.maximum(Z, 1e-30)
-                r0, r1, j00, j01, j11 = _r_and_J(g, rel, lambda k: f_list[k] / Zs)
+                        fmax = jnp.maximum(fmax, f_of(o0, o1))
+                zero = jnp.zeros(x0.shape, jnp.float32)
+                S0 = zero
+                S1_0 = S1_1 = zero
+                S2_00 = S2_01 = S2_11 = zero
+                for o0 in _offs(w):
+                    for o1 in _offs(w):
+                        f = f_of(o0, o1)
+                        e = jnp.where(f > neg * 0.5, jnp.exp(f - fmax), 0.0)
+                        l0, l1 = rel(o0, o1)
+                        S0 = S0 + e
+                        S1_0 = S1_0 + e * l0
+                        S1_1 = S1_1 + e * l1
+                        S2_00 = S2_00 + e * l0 * l0
+                        S2_01 = S2_01 + e * l0 * l1
+                        S2_11 = S2_11 + e * l1 * l1
+                Zs = jnp.maximum(S0, 1e-30)
+                r0 = S1_0 / Zs
+                r1 = S1_1 / Zs
+                j00 = S2_00 / Zs - r0 * r0
+                j01 = S2_01 / Zs - r0 * r1
+                j11 = S2_11 / Zs - r1 * r1
                 i00, i01, i11 = _inv2_damped(j00, j01, j11)
-                live = act & (Z > 0.0)
+                live = act & (S0 > 0.0)
                 rn2 = jnp.where(live, r0 * r0 + r1 * r1, 0.0)
                 conv = rn2 <= tol2
                 lam0 = jnp.where(conv, lam0, lam0 - (i00 * r0 + i01 * r1))
@@ -238,12 +328,9 @@ def _make_scatter_kernel(g: _Geom, cN: int, has_G: bool, solve: bool):
         lam_out_ref[0, 0] = lam0
         lam_out_ref[0, 1] = lam1
 
-        Z = _softmax_into(g, rel, valid, lam0, lam1, f_scr)
+        e_of, fmax, Z, cnt = _basis_passes(g, rel, valid, lam0, lam1)
         Zs = jnp.maximum(Z, 1e-30)
         # edge count (nnz of the dynamic pattern) for throughput diagnostics
-        cnt = jnp.zeros(x0.shape, jnp.float32)
-        for k in range(K):
-            cnt = cnt + (f_scr[k] > 0.0).astype(jnp.float32)
         total = jnp.sum(cnt)
         onehot = (
             (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0)
@@ -251,33 +338,52 @@ def _make_scatter_kernel(g: _Geom, cN: int, has_G: bool, solve: bool):
         )
         cnt_ref[0] = jnp.where(onehot, total, 0.0)
 
-        if has_G:
-            r0, r1, j00, j01, j11 = _r_and_J(g, rel, lambda k: f_scr[k] / Zs)
+        if need_dn:
+            r0, r1, j00, j01, j11 = _r_and_J(
+                g, rel, lambda o0, o1, k: e_of(o0, o1) / Zs
+            )
             i00, i01, i11 = _inv2_damped(j00, j01, j11)
+        if has_G:
             g00 = G_ref[0, 0]
             g01 = G_ref[0, 1]
             g10 = G_ref[0, 2]
             g11 = G_ref[0, 3]
 
-        # per-offset full-width banks: out[0, k*cout + c, :] — every store is
-        # a full 128-aligned lane row (Mosaic requires aligned slice shapes);
-        # the (o0, o1) shifts happen in the XLA epilogue
-        cout = cN + (2 if has_G else 0)
+        lanepad = g.c1p2 - g.c1p
         k = 0
         for o0 in _offs(w):
+            acc = [jnp.zeros((g.R, g.c1p2), jnp.float32) for _ in range(cout)]
             for o1 in _offs(w):
-                N_k = f_scr[k] / Zs
+                N_k = e_of(o0, o1) / Zs
+                shift = o1 + w  # bank col = cell col + (o1 + w)
                 for c in range(cN):
-                    out_ref[0, k * cout + c, :] = jnp.sum(N_k * fN_ref[0, c], axis=0)
-                if has_G:
+                    rows = jnp.dot(sel, N_k * fN_ref[0, c],
+                                   preferred_element_type=jnp.float32)
+                    rows = jnp.pad(rows, ((0, 0), (0, lanepad)))
+                    acc[c] = acc[c] + pltpu.roll(rows, shift, 1)
+                if need_dn:
                     l0, l1 = rel(o0, o1)
                     a0 = l0 - r0
                     a1 = l1 - r1
                     dn0 = -N_k * (i00 * a0 + i01 * a1)
                     dn1 = -N_k * (i01 * a0 + i11 * a1)
-                    out_ref[0, k * cout + cN, :] = jnp.sum(g00 * dn0 + g01 * dn1, axis=0)
-                    out_ref[0, k * cout + cN + 1, :] = jnp.sum(g10 * dn0 + g11 * dn1, axis=0)
+                    extra = []
+                    if has_G:
+                        extra += [(cN, g00 * dn0 + g01 * dn1),
+                                  (cN + 1, g10 * dn0 + g11 * dn1)]
+                    if gnorm:
+                        # Σ_p s_p·|∇N_pA|² with s_p = last fN channel — the
+                        # Jacobi stiffness diagonal (PCJACOBI equivalent)
+                        extra += [(cout - 1,
+                                   fN_ref[0, cN - 1] * (dn0 * dn0 + dn1 * dn1))]
+                    for c, v in extra:
+                        rows = jnp.dot(sel, v, preferred_element_type=jnp.float32)
+                        rows = jnp.pad(rows, ((0, 0), (0, lanepad)))
+                        acc[c] = acc[c] + pltpu.roll(rows, shift, 1)
                 k += 1
+            k0 = o0 + w
+            for c in range(cout):
+                out_ref[0, :, k0 * cout + c, :] = acc[c]
 
     return kernel
 
@@ -321,7 +427,8 @@ def _xla_basis(g: _Geom, grid, box, params, x_t, lam_t, act_t, solve):
     return offs, N, dN, mask, lam
 
 
-def _scatter_xla(grid, box, params, x_t, lam_t, act_t, fN_t, G_t, solve, margin):
+def _scatter_xla(grid, box, params, x_t, lam_t, act_t, fN_t, G_t, solve, margin,
+                 gnorm=False):
     g = _Geom(grid, box, params, margin)
     offs, N, dN, mask, lam = _xla_basis(
         g, grid, box, params, x_t, lam_t, act_t, solve
@@ -333,6 +440,9 @@ def _scatter_xla(grid, box, params, x_t, lam_t, act_t, fN_t, G_t, solve, margin)
     if G_t is not None:
         G = from_channel_leading(G_t).reshape(-1, 2, 2)
         cols.append(jnp.einsum("pij,pkj->pki", G, dN))
+    if gnorm:
+        s = fN[:, -1]
+        cols.append((s[:, None] * jnp.sum(dN * dN, axis=-1))[..., None])
     vals = jnp.concatenate(cols, axis=-1)
     vals = jnp.where(mask[..., None], vals, 0.0)
     nodes = windowed.p2g(vals, box, grid, offs)
@@ -371,70 +481,64 @@ def fused_scatter(
     G_t: Optional[jax.Array] = None,  # (4, C, nc) grad-weighted row-major 2×2
     solve: bool = True,
     margin: int = 0,
+    gnorm: bool = False,
 ):
     """Fused LME+P2G.  Returns (nodes (n_nodes, cout), lam (2, C, nc));
-    cout = cN (+2 when G_t given, the Σ G·∇N vector appended)."""
+    cout = cN (+2 when G_t given, the Σ G·∇N vector appended; +1 when
+    ``gnorm``: Σ s·|∇N|² with s = the LAST fN channel — the Jacobi
+    stiffness diagonal of the implicit path)."""
     if not _on_tpu() and not FORCE_INTERPRET:
         return _scatter_xla(
-            grid, box, params, x_t, lam_t, act_t, fN_t, G_t, solve, margin
+            grid, box, params, x_t, lam_t, act_t, fN_t, G_t, solve, margin,
+            gnorm,
         )
     g = _Geom(grid, box, params, margin)
     cN = fN_t.shape[0]
     has_G = G_t is not None
-    cout = cN + (2 if has_G else 0)
+    cout = cN + (2 if has_G else 0) + (1 if gnorm else 0)
     dt = x_t.dtype
     org = jnp.asarray(grid.origin, dt)
     x_shift = x_t - org[:, None, None]
     if not has_G:
         G_t = jnp.zeros((4, g.C, g.nc), dt)
 
-    pad1 = g.c1p - g.c1
-
-    def view(a, ch):
-        # (ch, C, nc) → (c0, ch, C, c1p): the blocked row axis leads so the
-        # last two block dims equal the array dims; lanes padded to 128
-        v = jnp.moveaxis(a.reshape((ch, g.C, g.c0, g.c1)), 2, 0)
-        return jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad1)))
-
-    slot_spec = lambda ch: pl.BlockSpec(
-        (1, ch, g.C, g.c1p), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-    kernel = _make_scatter_kernel(g, cN, has_G, solve)
+    kernel = _make_scatter_kernel(g, cN, has_G, solve, gnorm)
     out, lam_new, cnt = pl.pallas_call(
         kernel,
-        grid=(g.c0,),
-        in_specs=[slot_spec(2), slot_spec(2), slot_spec(1), slot_spec(cN), slot_spec(4)],
+        grid=(g.nprog,),
+        in_specs=[_slot_spec(g, 2), _slot_spec(g, 2), _slot_spec(g, 1),
+                  _slot_spec(g, cN), _slot_spec(g, 4)],
         out_specs=[
-            pl.BlockSpec((1, g.K * cout, g.c1p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            slot_spec(2),
+            pl.BlockSpec((1, g.R, g.K1 * cout, g.c1p2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _slot_spec(g, 2),
             pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((g.c0, g.K * cout, g.c1p), dt),
-            jax.ShapeDtypeStruct((g.c0, 2, g.C, g.c1p), dt),
-            jax.ShapeDtypeStruct((g.c0, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((g.nprog, g.R, g.K1 * cout, g.c1p2), dt),
+            jax.ShapeDtypeStruct((g.nprog, 2, g.RC, g.c1p), dt),
+            jax.ShapeDtypeStruct((g.nprog, 8, 128), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((g.K, g.C, g.c1p), dt)],
         interpret=not _on_tpu(),
-    )(view(x_shift, 2), view(lam_t, 2), view(act_t, 1), view(fN_t, cN), view(G_t, 4))
+    )(_to_view(g, x_shift, 2), _to_view(g, lam_t, 2), _to_view(g, act_t, 1),
+      _to_view(g, fN_t, cN), _to_view(g, G_t, 4))
 
-    # XLA epilogue: (o0, o1)-shifted adds of the per-cell banks into nodes
-    part = out.reshape(g.c0, g.K, cout, g.c1p)[:, :, :, : g.c1]
+    # XLA epilogue: K1 row-offset banks, each already o1-folded in-kernel.
+    # Bank column p holds the contribution to node column p + (o1_box − w).
+    W2 = min(g.c1 + 2 * g.w, g.c1p2)
+    part = out.reshape(g.c0p, g.K1, cout, g.c1p2)[: g.c0, :, :, :W2]
     nodes = jnp.zeros((g.n0, g.n1, cout), dt)
-    k = 0
-    for o0 in range(-g.w, g.w + 1):
+    cb = g.o1 - g.w
+    clo, chi = max(0, -cb), min(W2, g.n1 - cb)
+    for k0, o0 in enumerate(range(-g.w, g.w + 1)):
         r0 = g.o0 + o0
         rlo, rhi = max(0, -r0), min(g.c0, g.n0 - r0)
-        for o1 in range(-g.w, g.w + 1):
-            cb = g.o1 + o1
-            clo, chi = max(0, -cb), min(g.c1, g.n1 - cb)
-            if rhi > rlo and chi > clo:
-                strip = part[rlo:rhi, k, :, clo:chi]  # (rows, cout, cols)
-                nodes = nodes.at[
-                    r0 + rlo : r0 + rhi, cb + clo : cb + chi, :
-                ].add(jnp.moveaxis(strip, 1, 2))
-            k += 1
-    lam_new = jnp.moveaxis(lam_new[:, :, :, : g.c1], 0, 2).reshape(2, g.C, g.nc)
+        if rhi > rlo and chi > clo:
+            strip = part[rlo:rhi, k0, :, clo:chi]  # (rows, cout, cols)
+            nodes = nodes.at[
+                r0 + rlo : r0 + rhi, cb + clo : cb + chi, :
+            ].add(jnp.moveaxis(strip, 1, 2))
+    lam_new = _from_view(g, lam_new, 2)
     return (
         nodes.reshape(g.n0 * g.n1, cout),
         lam_new,
@@ -448,65 +552,73 @@ def fused_scatter(
 
 
 def _make_gather_kernel(g: _Geom, cN: int, has_grad: bool, cg: int):
-    """8-cell-row program.  Node rows arrive as three 8-row-aligned blocks
-    of the padded field (rows r_lo/r_mid/r_hi), so every row index the
-    kernel touches is static — no dynamic-offset DMA (Mosaic requires
-    sublane-aligned dynamic slices)."""
+    """8-cell-row program on flat (RC, c1p) tiles.  Node rows arrive as two
+    8-row-aligned blocks of the padded field; for each row offset o0 the
+    kernel statically slices the 8 node rows its cell rows touch and
+    broadcasts each into that row's C capacity sublanes with one small
+    matmul (``_row_rep_matrix``), so every VPU op runs at full RC-sublane
+    occupancy instead of one partially-filled (C, c1p) tile per cell row."""
     w, K = g.w, g.K
-    assert w <= 4, "window halfwidth > 4 needs a 4th row block"
+    assert w <= 4, "window halfwidth > 4 needs a 3rd row block"
 
-    def kernel(x_ref, lam_ref, act_ref, rlo_ref, rmid_ref, rhi_ref,
-               outN_ref, outG_ref, f_scr):
-        rows = (rlo_ref, rmid_ref, rhi_ref)
-        cy0 = pl.program_id(0) * 8  # first cell row of this program
+    def kernel(x_ref, lam_ref, act_ref, rlo_ref, rhi_ref,
+               outN_ref, outG_ref, rows_scr):
+        cy0 = pl.program_id(0) * g.R
+        x0 = x_ref[0, 0]
+        x1 = x_ref[0, 1]
+        act = act_ref[0, 0] > 0.5
+        lam0 = lam_ref[0, 0]
+        lam1 = lam_ref[0, 1]
+        cy = cy0 + _row_iota(g)
+        rel, valid = _basis_terms(g, x0, x1, lam0, lam1, act, cy)
+        rep = _row_rep_matrix(g)
+        e_of, fmax, Z, _ = _basis_passes(g, rel, valid, lam0, lam1)
+        Zs = jnp.maximum(Z, 1e-30)
+        if has_grad:
+            r0, r1, j00, j01, j11 = _r_and_J(
+                g, rel, lambda o0, o1, k: e_of(o0, o1) / Zs
+            )
+            i00, i01, i11 = _inv2_damped(j00, j01, j11)
 
-        for r in range(8):
-            x0 = x_ref[r, 0]
-            x1 = x_ref[r, 1]
-            act = act_ref[r, 0] > 0.5
-            lam0 = lam_ref[r, 0]
-            lam1 = lam_ref[r, 1]
-            cy = cy0 + r
-            rel, valid = _basis_terms(g, x0, x1, lam0, lam1, act, cy)
-            Z = _softmax_into(g, rel, valid, lam0, lam1, f_scr)
-            Zs = jnp.maximum(Z, 1e-30)
-            if has_grad:
-                r0, r1, j00, j01, j11 = _r_and_J(g, rel, lambda k: f_scr[k] / Zs)
-                i00, i01, i11 = _inv2_damped(j00, j01, j11)
+        # stage the 16 padded node rows this program can touch
+        rows_scr[:, 0:8, :] = rlo_ref[:, :, :]
+        rows_scr[:, 8:16, :] = rhi_ref[:, :, :]
 
-            accN = [jnp.zeros(x0.shape, jnp.float32) for _ in range(cN)]
-            accG = [jnp.zeros(x0.shape, jnp.float32) for _ in range(4)]
-            k = 0
-            for o0 in _offs(w):
-                l = w + r + o0  # static local padded-row index
-                ref = rows[l // 8]
-                row = l % 8
-                for o1 in _offs(w):
-                    col = g.o1 + o1 + w  # static padded col of cell j=0
-                    N_k = f_scr[k] / Zs
-                    for c in range(cN):
-                        gv = ref[c, row, pl.ds(col, g.c1p)][None, :]
-                        accN[c] = accN[c] + N_k * gv
-                    if has_grad:
-                        l0, l1 = rel(o0, o1)
-                        a0 = l0 - r0
-                        a1 = l1 - r1
-                        dn0 = -N_k * (i00 * a0 + i01 * a1)
-                        dn1 = -N_k * (i01 * a0 + i11 * a1)
-                        u0 = ref[cN + 0, row, pl.ds(col, g.c1p)][None, :]
-                        u1 = ref[cN + 1, row, pl.ds(col, g.c1p)][None, :]
-                        accG[0] = accG[0] + u0 * dn0
-                        accG[1] = accG[1] + u0 * dn1
-                        accG[2] = accG[2] + u1 * dn0
-                        accG[3] = accG[3] + u1 * dn1
-                    k += 1
-            if cN:
+        accN = [jnp.zeros(x0.shape, jnp.float32) for _ in range(cN)]
+        accG = [jnp.zeros(x0.shape, jnp.float32) for _ in range(4)]
+        k = 0
+        for o0 in _offs(w):
+            l0row = w + o0  # padded-row index of cell row r=0 (static)
+            for o1 in _offs(w):
+                col = g.o1 + o1 + w  # static padded col of cell j=0
+                N_k = e_of(o0, o1) / Zs
+                if cN:
+                    gv8 = rows_scr[0:cN, l0row : l0row + 8, col : col + g.c1p]
+                if has_grad:
+                    u8 = rows_scr[cN : cN + 2, l0row : l0row + 8, col : col + g.c1p]
+                    lo0, lo1 = rel(o0, o1)
+                    a0 = lo0 - r0
+                    a1 = lo1 - r1
+                    dn0 = -N_k * (i00 * a0 + i01 * a1)
+                    dn1 = -N_k * (i01 * a0 + i11 * a1)
                 for c in range(cN):
-                    outN_ref[r, c] = accN[c]
-            else:
-                outN_ref[r, 0] = jnp.zeros(x0.shape, jnp.float32)
-            for c in range(4):
-                outG_ref[r, c] = accG[c]
+                    gv = jnp.dot(rep, gv8[c], preferred_element_type=jnp.float32)
+                    accN[c] = accN[c] + N_k * gv
+                if has_grad:
+                    u0 = jnp.dot(rep, u8[0], preferred_element_type=jnp.float32)
+                    u1 = jnp.dot(rep, u8[1], preferred_element_type=jnp.float32)
+                    accG[0] = accG[0] + u0 * dn0
+                    accG[1] = accG[1] + u0 * dn1
+                    accG[2] = accG[2] + u1 * dn0
+                    accG[3] = accG[3] + u1 * dn1
+                k += 1
+        if cN:
+            for c in range(cN):
+                outN_ref[0, c] = accN[c]
+        else:
+            outN_ref[0, 0] = jnp.zeros(x0.shape, jnp.float32)
+        for c in range(4):
+            outG_ref[0, c] = accG[c]
 
     return kernel
 
@@ -538,12 +650,10 @@ def fused_gather(
 
     # Row padding: pad_top pt makes a = o0 − w + pt ≡ 0 (mod 8).  Program i's
     # window rows (local index l = w + r + o0 ∈ [0, 7+2w], w ≤ 4 ⇒ l < 16)
-    # then live in padded-row blocks a/8 + i + {0, 1} ({0,1,2} kept for slack).
+    # then live in padded-row blocks a/8 + i + {0, 1}.
     pt_rows = g.w + ((-g.o0) % 8)
     a = g.o0 - g.w + pt_rows
-    c0p = ((g.c0 + 7) // 8) * 8
-    nprog = c0p // 8
-    n_rows = a + 8 * (nprog - 1) + 32
+    n_rows = a + 8 * (g.nprog - 1) + 16
     Wrow = max(g.n1 + 2 * g.w, g.o1 + 2 * g.w + g.c1p)
     gpad = jnp.pad(
         g_all,
@@ -554,16 +664,6 @@ def fused_gather(
 
     org = jnp.asarray(grid.origin, dt)
     x_shift = x_t - org[:, None, None]
-    pad1 = g.c1p - g.c1
-    pad0 = c0p - g.c0
-
-    def view(a_, ch):
-        v = jnp.moveaxis(a_.reshape((ch, g.C, g.c0, g.c1)), 2, 0)
-        return jnp.pad(v, ((0, pad0), (0, 0), (0, 0), (0, pad1)))
-
-    slot_spec = lambda ch: pl.BlockSpec(
-        (8, ch, g.C, g.c1p), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-    )
 
     def row_spec(shift):
         return pl.BlockSpec(
@@ -575,32 +675,36 @@ def fused_gather(
     kernel = _make_gather_kernel(g, cN, has_grad, cg)
     outN, outG = pl.pallas_call(
         kernel,
-        grid=(nprog,),
+        grid=(g.nprog,),
         in_specs=[
-            slot_spec(2),
-            slot_spec(2),
-            slot_spec(1),
+            _slot_spec(g, 2),
+            _slot_spec(g, 2),
+            _slot_spec(g, 1),
             row_spec(0),
             row_spec(1),
-            row_spec(2),
         ],
-        out_specs=[slot_spec(max(cN, 1)), slot_spec(4)],
+        out_specs=[_slot_spec(g, max(cN, 1)), _slot_spec(g, 4)],
         out_shape=[
-            jax.ShapeDtypeStruct((c0p, max(cN, 1), g.C, g.c1p), dt),
-            jax.ShapeDtypeStruct((c0p, 4, g.C, g.c1p), dt),
+            jax.ShapeDtypeStruct((g.nprog, max(cN, 1), g.RC, g.c1p), dt),
+            jax.ShapeDtypeStruct((g.nprog, 4, g.RC, g.c1p), dt),
         ],
         scratch_shapes=[
-            pltpu.VMEM((g.K, g.C, g.c1p), dt),
+            pltpu.VMEM((cg, 16, Wrow), dt),
         ],
         interpret=not _on_tpu(),
-    )(view(x_shift, 2), view(lam_t, 2), view(act_t, 1), gpad, gpad, gpad)
+    )(_to_view(g, x_shift, 2), _to_view(g, lam_t, 2), _to_view(g, act_t, 1),
+      gpad, gpad)
 
     ns = g.C * g.nc
-    outN = jnp.moveaxis(outN[: g.c0, :, :, : g.c1], 0, 2)  # (cN, C, c0, c1)
-    outG = jnp.moveaxis(outG[: g.c0, :, :, : g.c1], 0, 2)
-    outN_r = jnp.moveaxis(outN.reshape(max(cN, 1), ns), 0, 1) if cN else None
+    outN_r = (
+        jnp.moveaxis(_from_view(g, outN, max(cN, 1)).reshape(max(cN, 1), ns), 0, 1)
+        if cN
+        else None
+    )
     grad_r = (
-        jnp.moveaxis(outG.reshape(4, ns), 0, 1).reshape(ns, 2, 2) if has_grad else None
+        jnp.moveaxis(_from_view(g, outG, 4).reshape(4, ns), 0, 1).reshape(ns, 2, 2)
+        if has_grad
+        else None
     )
     return outN_r, grad_r
 

@@ -296,3 +296,63 @@ def test_cli_runs_upw(upw_case, monkeypatch):
     rc = main(["--FORMULATION-Upw", "-f", str(upw_case / "sim.nlp"),
                "--steps", "3", "--no-output"])
     assert rc == 0
+
+
+def test_hydrostatic_and_nodal_initial_conditions(tmp_path):
+    """Hydrostatic-condition (NLPS-Hidrostatic-Condition.c) and
+    Initial-nodal-values (NLPS-Initial-condition-nodes.c) readers."""
+    write_gid_quad_mesh(tmp_path / "bg.msh", 4, 4, 0.25)
+    write_gid_quad_mesh(tmp_path / "body.msh", 4, 4, 0.25)
+    ny1 = 5
+    allnodes = list(range(1, 5 * ny1 + 1))
+    (tmp_path / "all.txt").write_text("\n".join(map(str, allnodes)))
+    (tmp_path / "sim.nlp").write_text(textwrap.dedent("""
+    NLPS-Solver (Type=NPC-FS) {
+        CFL=0.25
+        Cel=10.0
+        N=4
+    }
+    GramsBox (Type=GID, File=bg.msh) {
+    }
+    GramsShapeFun (Type=FEM) {
+    }
+    Define-Material (idx=0, Model=Neo-Hookean-Wriggers) {
+        E=1e6
+        nu=0.3
+        rho=2000
+    }
+    One-Phase-Analysis (File=body.msh, GPxElement=1) {
+    }
+    Hydrostatic-condition
+    {
+        Origin = {0 ; 1.0}
+        Direction = {0 ; -1}
+        Gravity = 10
+        MatIndx = 0
+    }
+    Initial-nodal-values (NODES=all.txt)
+    {
+        VELOCITY=[2.5,0.0,0.0]
+    }
+    GramsOutputs (i=10) {
+        DIR=out
+    }
+    """))
+    setup = build_simulation(str(tmp_path / "sim.nlp"))
+    p = setup.particles
+    x = np.asarray(p.x)
+    st = np.asarray(p.stress)
+    # P = -rho*g*<(x-X0)·dir> = -2000*10*(1.0 - y): compressive below origin
+    P_expect = -2000.0 * 10.0 * (1.0 - x[:, 1])
+    np.testing.assert_allclose(st[:, 0, 0], P_expect, rtol=1e-6)
+    np.testing.assert_allclose(st[:, 1, 1], P_expect, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p.stress_zz), P_expect, rtol=1e-6)
+    # consistent isotropic b_e
+    Eh = P_expect * (1 - 2 * 0.3) / 1e6
+    np.testing.assert_allclose(
+        np.asarray(p.bemi)[:, 0, 0], np.exp(2 * Eh) - 1, rtol=1e-4
+    )
+    # nodal velocity interpolated: uniform 2.5 in x everywhere
+    v = np.asarray(p.v)
+    np.testing.assert_allclose(v[:, 0], 2.5, rtol=1e-6)
+    np.testing.assert_allclose(v[:, 1], 0.0, atol=1e-12)

@@ -27,7 +27,9 @@ def _problem(seed=0, n_side=12, n_particles=150):
         mass=rng.uniform(0.5, 2.0, n_particles).astype(np.float32),
         vol0=np.full(n_particles, h * h / 4, np.float32),
     )
-    box = windowed.box_for_extent(grid, [0.1, 0.1], [0.9, 0.9], capacity=8, margin=1)
+    probe = windowed.box_for_extent(grid, [0.1, 0.1], [0.9, 0.9], capacity=1, margin=1)
+    cap = windowed.required_capacity(grid, probe, x)
+    box = probe.replace(capacity=max(8, cap))
     p = to_slot_layout(p, grid, box)
     params = lme.LMEParams(gamma=3.0)
     return grid, box, p, params
@@ -241,3 +243,48 @@ def test_mosaic_kernels_interpret_parity():
                                np.asarray(ref_ga[0])[sel], rtol=2e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_ga[1])[sel],
                                np.asarray(ref_ga[1])[sel], rtol=2e-3, atol=1e-4)
+
+
+def test_implicit_step_pallas_matches_windowed():
+    """Implicit Newmark step: fused-Pallas path (custom-JVP linear ops
+    through the kernels) vs the windowed path — dU, stress, convergence."""
+    from nlpartsol_tpu.formulations.implicit import ImplicitConfig, implicit_step
+    from nlpartsol_tpu.models import materials as M
+
+    grid, box, p, params = _problem(seed=9, n_side=14, n_particles=180)
+    rng = np.random.default_rng(10)
+    p = p.replace(
+        v=jnp.asarray(0.02 * rng.standard_normal((p.count, 2)), jnp.float32),
+        vol0=jnp.full((p.count,), grid.spacing**2 / 4, jnp.float32),
+    )
+    mats = M.material_table(
+        [M.material(kind="Neo-Hookean-Wriggers", E=1e6, nu=0.3, rho0=1000.0)]
+    )
+    dt = 0.5 * grid.spacing / np.sqrt(1e6 / 1e3)
+    kw = dict(dt=dt, shapefun="lme", lme_params=params, kinds=(M.NEO_HOOKEAN,),
+              active_box=box, cg_maxiter=100)
+    cfg_w = ImplicitConfig(transfer="windowed", **kw)
+    cfg_p = ImplicitConfig(transfer="pallas", **kw)
+    body = jnp.asarray([0.0, -9.81], jnp.float32)
+
+    pw = pp = p
+    for _ in range(2):
+        pw, dw = implicit_step(pw, grid, mats, cfg_w, body)
+        pp, dp = implicit_step(pp, grid, mats, cfg_p, body)
+        assert bool(dw["converged"]) and bool(dp["converged"])
+        assert int(dp["lost"]) == 0
+
+    # compare by pid (slot orders may differ between binning flavours)
+    def by_pid(q, arr):
+        a = np.asarray(arr)[np.asarray(q.active)]
+        return a[np.argsort(np.asarray(q.pid)[np.asarray(q.active)])]
+
+    assert int(dp["nnz"]) == int(dw["nnz"])
+    np.testing.assert_allclose(by_pid(pp, pp.x), by_pid(pw, pw.x),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(by_pid(pp, pp.v), by_pid(pw, pw.v),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(by_pid(pp, pp.F), by_pid(pw, pw.F),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(by_pid(pp, pp.stress), by_pid(pw, pw.stress),
+                               rtol=5e-3, atol=10.0)

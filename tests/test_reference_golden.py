@@ -1,0 +1,171 @@
+"""Head-to-head validation against the REFERENCE CODE (BASELINE.md
+correctness gate).
+
+Golden files in tests/golden/ are produced by compiling and running the
+reference's own standalone constitutive harnesses
+(/root/reference/nl-partsol/tests/Constitutive/{Von-Mises.c,
+Drucker-Prager-Backward-Euler.c, Matsuoka_Nakai.c}) — see
+scripts/make_reference_golden.py for build provenance.  The full reference
+binary cannot be built in this image (PETSc and LAPACKE headers are absent;
+U-Newmark-beta.c requires SNES unconditionally), so the head-to-head runs at
+the constitutive level, which is where all the adjudicable numerics live
+(return mappings, hardening laws, spectral reconstruction).
+
+These tests drive OUR models along the exact strain paths of the harnesses
+in float64 and require agreement well inside the reference's own tolerance
+(TOL_Radial_Returning 1e-14 / TOL_NR 1e-5; src/Macros.h:40).
+
+Adjudicated deviation: the reference's trial volumetric stress uses
+K·tr(E)/3 (Von-Mises.c:499, Drucker-Prager.c:726).  Our models default to
+the standard K·tr(E); `ref_vol_compat=True` restores the reference term,
+and the tests passing under it proves that this is the ONLY difference
+between the two implementations on these paths.
+"""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from nlpartsol_tpu.models.vonmises import von_mises
+from nlpartsol_tpu.models.druckerprager import drucker_prager
+from nlpartsol_tpu.models.borja import borja_frictional
+
+GOLD = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _x64():
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
+
+
+def _read(name):
+    with open(os.path.join(GOLD, name)) as f:
+        rows = list(csv.DictReader(f))
+    return {k: np.array([float(r[k]) for r in rows]) for k in rows[0]}
+
+
+def _nominal(tau2, F_yy):
+    """Reference harnesses store P = τ·F^{-T} in-plane (diag F here)."""
+    P = tau2.copy()
+    P[..., 0, 1] /= F_yy  # column scaling by inv(F).T = diag(1, 1/Fyy)
+    P[..., 1, 1] /= F_yy
+    return P
+
+
+def test_von_mises_matches_reference_harness():
+    g = _read("vonmises_uniaxial.csv")
+    n = len(g["step"])
+    import jax.numpy as jnp
+
+    E, nu = 10.0e3, 0.2
+    dF = jnp.asarray(np.diag([1.0, 0.9999]))
+    bemi = jnp.zeros((2, 2), jnp.float64)
+    bemi_zz = jnp.zeros((), jnp.float64)
+    eps = jnp.zeros(())
+    back = jnp.zeros((3,))
+    kw = {k: jnp.asarray(v, jnp.float64) for k, v in dict(
+        E=E, nu=nu, sigma_y=10.0, H=0.0, theta=0.0, K0=0.0, Kinf=0.0,
+        delta=0.0).items()}
+    kw.update(n_iter=40, tol=1e-14, ref_vol_compat=True)
+    step = jax.jit(lambda b, bz, e, bk: von_mises(b, bz, dF, e, bk, **kw))
+    F_yy = 1.0
+    for i in range(1, n):
+        out = step(bemi, bemi_zz, eps, back)
+        bemi, bemi_zz, eps, back = out.bemi, out.bemi_zz, out.eps, out.back_stress
+        F_yy *= 0.9999
+        P = _nominal(np.asarray(out.tau)[None], F_yy)[0]
+        assert abs(F_yy - g["Fyy"][i]) < 1e-12
+        np.testing.assert_allclose(P[0, 0], g["s_xx"][i], rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(P[1, 1], g["s_yy"][i], rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(
+            float(out.tau_zz), g["s_zz"][i], rtol=1e-9, atol=1e-9
+        )
+        np.testing.assert_allclose(float(eps), g["eps"][i], rtol=1e-8, atol=1e-12)
+
+
+def test_drucker_prager_matches_reference_harness():
+    g = _read("druckerprager_uniaxial.csv")
+    n = len(g["step"])
+    import jax.numpy as jnp
+
+    E, nu = 10.0e3, 0.2
+    kappa0, phi, psi = 40.0, 39.0, 6.0
+    H, m = 0.1, 1.0
+    eps0 = (kappa0 / (m * H))  # Reference_Plastic_Strain_Ortiz, harness :403
+    dF = jnp.asarray(np.diag([1.0, 0.999]))
+    bemi = jnp.zeros((2, 2), jnp.float64)
+    bemi_zz = jnp.zeros((), jnp.float64)
+    eps = jnp.zeros(())
+    kap = jnp.asarray(kappa0, jnp.float64)
+    kw = {k: jnp.asarray(v, jnp.float64) for k, v in dict(
+        E=E, nu=nu, kappa0=kappa0, friction_angle=phi,
+        dilatancy_angle=psi, exponent_ortiz=m, plastic_strain_0=eps0,
+        cohesion=0.0, J2_degradated=5.0, p_ref=-20.0).items()}
+    kw.update(n_iter=40, tol=1e-14, ref_vol_compat=True)
+    step = jax.jit(lambda b, bz, e, k: drucker_prager(b, bz, dF, e, k, **kw))
+    F_yy = 1.0
+    for i in range(1, n):
+        out = step(bemi, bemi_zz, eps, kap)
+        bemi, bemi_zz, eps, kap = out.bemi, out.bemi_zz, out.eps, out.kappa
+        F_yy *= 0.999
+        P = _nominal(np.asarray(out.tau)[None], F_yy)[0]
+        assert abs(F_yy - g["Fyy"][i]) < 1e-12
+        np.testing.assert_allclose(P[0, 0], g["s_xx"][i], rtol=1e-7, atol=1e-8)
+        np.testing.assert_allclose(P[1, 1], g["s_yy"][i], rtol=1e-7, atol=1e-8)
+        np.testing.assert_allclose(
+            float(out.tau_zz), g["s_zz"][i], rtol=1e-7, atol=1e-8
+        )
+        np.testing.assert_allclose(float(eps), g["eps"][i], rtol=1e-6, atol=1e-10)
+        np.testing.assert_allclose(float(kap), g["kappa"][i], rtol=1e-6, atol=1e-8)
+
+
+def test_matsuoka_nakai_matches_reference_harness():
+    """The MN harness drives the Borja model with a direct principal Hencky
+    trial strain [0, ε₂, 0] (Matsuoka_Nakai.c:489,585-587) — we synthesise
+    the equivalent trial b_e = diag(exp(2E)) and compare sorted principal
+    stresses + internal variables.  Subsampled every 100 of 20000 steps."""
+    g = _read("matsuoka_triaxial.csv")
+    n = len(g["step"])
+    import jax.numpy as jnp
+
+    E, nu = 10.0e3, 0.2
+    kw = {k: jnp.asarray(v, jnp.float64) for k, v in dict(
+        E=E, nu=nu, m=0.0, c0=0.0, phi=0.0, psi=0.0, a1=10.0, a2=0.0,
+        a3=0.8, alpha=0.162, cohesion=0.0).items()}
+    kw.update(yield_kind="matsuoka-nakai", n_iter=60, tol=1e-12)
+    eps = jnp.asarray(1.065199, jnp.float64)
+    kap = jnp.asarray(4.543, jnp.float64)
+    dF = jnp.eye(2, dtype=jnp.float64)
+    # principal compliance: Eh = CC @ T (harness protocol: the trial stress
+    # is driven, Matsuoka_Nakai.c:495-499, and the trial elastic strain the
+    # solver sees is its compliance image)
+    CC = (1.0 / E) * np.eye(3) + (-nu / E) * (np.ones((3, 3)) - np.eye(3))
+
+    def step(T_tr, eps, kap):
+        Eh = jnp.asarray(CC) @ T_tr
+        bemi = jnp.diag(jnp.exp(2.0 * Eh[:2]) - 1.0)
+        bemi_zz = jnp.exp(2.0 * Eh[2]) - 1.0
+        return borja_frictional(bemi, bemi_zz, dF, eps, kap, **kw)
+
+    stepj = jax.jit(step)
+    de = -0.00001
+    conf = -20.0
+    s2 = conf
+    for i in range(1, n):
+        T_tr = jnp.asarray([conf, s2 + E * de, conf], jnp.float64)
+        out = stepj(T_tr, eps, kap)
+        eps, kap = out.eps, out.kappa
+        s1, s2, s3 = float(out.tau[0, 0]), float(out.tau[1, 1]), float(out.tau_zz)
+        if i % 100 and i != n - 1:
+            continue
+        np.testing.assert_allclose(
+            [s1, s2, s3], [g["s1"][i], g["s2"][i], g["s3"][i]],
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(float(eps), g["eps"][i], rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(float(kap), g["kappa"][i], rtol=1e-5, atol=1e-7)

@@ -152,3 +152,85 @@ def test_fbar_nearly_incompressible_column():
     sa = np.asarray(pa.stress)[np.asarray(pa.active)]
     sb = np.asarray(pb.stress)[np.asarray(pb.active)]
     assert not np.allclose(sa, sb, rtol=1e-3)
+
+
+def test_local_rebin_matches_global_binning():
+    """local_rebin (neighbour compaction, no sort/gather) must place exactly
+    the same particle set per cell as the global argsort binning, preserving
+    every particle's full state row."""
+    rng = np.random.default_rng(11)
+    n_side, n = 14, 260
+    h = 1.0 / (n_side - 1)
+    grid = Grid(dims=(n_side, n_side), spacing=h, origin=(0.0, 0.0))
+    x = rng.uniform(0.12, 0.88, size=(n, 2)).astype(np.float32)
+    from nlpartsol_tpu.types import make_particles
+
+    p = make_particles(
+        x,
+        mass=rng.uniform(0.5, 2.0, n).astype(np.float32),
+        vol0=rng.uniform(0.5, 2.0, n).astype(np.float32),
+    )
+    p = p.replace(v=jnp.asarray(rng.standard_normal((n, 2)), jnp.float32))
+    box = windowed.default_box(grid, x)
+    from nlpartsol_tpu.formulations.explicit import to_slot_layout
+
+    p0 = to_slot_layout(p, grid, box)
+    # drift each particle by up to ±0.9 cells
+    drift = rng.uniform(-0.9, 0.9, size=(box.n_slots, 2)).astype(np.float32) * h
+    x_new = jnp.where(p0.active[:, None], p0.x + jnp.asarray(drift), p0.x)
+    p1 = p0.replace(x=x_new)
+
+    loc, lost = jax.jit(windowed.local_rebin, static_argnums=(2,))(p1, grid, box)
+    assert int(lost) == 0
+
+    binning = windowed.bin_particles(grid, box, p1.x, p1.active)
+    ref = windowed.permute_to_slots(p1, binning)
+
+    # same particle set per cell (order within a cell may differ)
+    cells = windowed.slot_cells(box)
+    for arr_name in ("pid",):
+        pass
+    pid_loc = np.asarray(loc.pid)
+    pid_ref = np.asarray(ref.pid)
+    act_loc = np.asarray(loc.active)
+    act_ref = np.asarray(ref.active)
+    assert act_loc.sum() == act_ref.sum() == int(np.asarray(p1.active).sum())
+    cid = cells[:, 0] * box.cdims[1] + cells[:, 1]
+    for c in np.unique(cid):
+        sl = cid == c
+        s_loc = sorted(pid_loc[sl][act_loc[sl]].tolist())
+        s_ref = sorted(pid_ref[sl][act_ref[sl]].tolist())
+        assert s_loc == s_ref, f"cell {c}: {s_loc} vs {s_ref}"
+
+    # full state preserved per pid
+    big_l, _, _ = windowed.flatten_soa(loc)
+    big_r, _, _ = windowed.flatten_soa(ref)
+    order_l = np.argsort(pid_loc[act_loc])
+    order_r = np.argsort(pid_ref[act_ref])
+    np.testing.assert_allclose(
+        np.asarray(big_l)[act_loc][order_l], np.asarray(big_r)[act_ref][order_r],
+        rtol=0, atol=0,
+    )
+
+
+def test_local_rebin_loses_fast_and_escaping_particles():
+    rng = np.random.default_rng(12)
+    n_side = 10
+    h = 1.0 / (n_side - 1)
+    grid = Grid(dims=(n_side, n_side), spacing=h, origin=(0.0, 0.0))
+    x = np.array([[0.5, 0.5], [0.5, 0.6], [0.3, 0.3]], np.float32)
+    from nlpartsol_tpu.types import make_particles
+
+    p = make_particles(x, mass=np.ones(3, np.float32), vol0=np.ones(3, np.float32))
+    box = windowed.default_box(grid, x)
+    from nlpartsol_tpu.formulations.explicit import to_slot_layout
+
+    p0 = to_slot_layout(p, grid, box)
+    # teleport one particle 3 cells away (faster than CFL allows)
+    sel = np.asarray(p0.pid) == 1
+    x_new = np.asarray(p0.x).copy()
+    x_new[sel] += 3.1 * h
+    p1 = p0.replace(x=jnp.asarray(x_new))
+    loc, lost = windowed.local_rebin(p1, grid, box)
+    assert int(lost) == 1
+    assert int(np.asarray(loc.active).sum()) == 2
