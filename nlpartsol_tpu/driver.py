@@ -34,6 +34,10 @@ STATIC_SCHEMES = {"Static"}
 
 def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_box=None, dt=None):
     sp = setup.solver
+    from .shapefun.femesh import FEMesh
+
+    if isinstance(setup.grid, FEMesh):
+        transfer = "scatter"  # no slot layout on unstructured meshes
     if dt is None:
         if sp.cel <= 0:
             raise ValueError("solver Cel (celerity) required to compute dt")
@@ -115,6 +119,12 @@ def run_simulation(
     check_lost: bool = True,
 ):
     """Run the configured simulation; returns (particles, history dict)."""
+    from .shapefun.femesh import FEMesh
+
+    if isinstance(setup.grid, FEMesh):
+        # unstructured T3/Q4/T4/H8 background mesh: no cell-window slot
+        # layout exists — transfers route through the general ScatterEngine
+        transfer = "scatter"
     if transfer in ("windowed", "pallas") and active_box is None:
         # auto-size: full-grid box, capacity = current max per cell × 2
         active_box = windowed.default_box(

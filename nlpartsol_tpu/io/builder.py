@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from .. import config
 from ..models import materials as M
+from ..shapefun import femesh
 from ..types import Grid, Particles, make_particles
 from ..utils import curves
 from . import gid_mesh
@@ -200,14 +201,23 @@ def build_simulation(path: str) -> SimulationSetup:
         raise ValueError("GramsBox block required")
     mesh_file = os.path.join(base, str(box.attrs["File"]))
     bg = gid_mesh.read_gid_mesh(mesh_file)
-    dims, h, origin = gid_mesh.structured_grid_from_mesh(bg)
-    d = len(dims)
-    n_nodes = int(np.prod(dims))
-
-    # GiD node ids → structured flat index mapping
-    rel = np.round((bg.coords - np.asarray(origin)) / h).astype(np.int64)
-    strides = np.concatenate([np.cumprod(np.asarray(dims[::-1]))[-2::-1], [1]])
-    gid2flat = (rel * strides).sum(axis=1)
+    try:
+        dims, h, origin = gid_mesh.structured_grid_from_mesh(bg)
+        unstructured = False
+        d = len(dims)
+        n_nodes = int(np.prod(dims))
+        # GiD node ids → structured flat index mapping
+        rel = np.round((bg.coords - np.asarray(origin)) / h).astype(np.int64)
+        strides = np.concatenate([np.cumprod(np.asarray(dims[::-1]))[-2::-1], [1]])
+        gid2flat = (rel * strides).sum(axis=1)
+    except ValueError:
+        # non-Cartesian background mesh: unstructured isoparametric-element
+        # path (reference GramsBox Type=GID on T3/Q4/T4/H8 meshes,
+        # Read_GramsBox.c:54-150) — GiD node ids map 1:1
+        unstructured = True
+        d = bg.dimension
+        n_nodes = bg.n_nodes
+        gid2flat = np.arange(n_nodes, dtype=np.int64)
 
     # --- Dirichlet boundaries ---
     dmask = np.zeros((n_nodes, d), bool)
@@ -225,13 +235,16 @@ def build_simulation(path: str) -> SimulationSetup:
             curve = read_curve_file(os.path.join(base, st[2]), max(sp.n_steps, 1))
             dirichlet_nodes.append((flat, comp, curve))
 
-    grid = Grid(
-        dims=tuple(dims),
-        spacing=h,
-        origin=tuple(origin),
-        dirichlet_mask=jnp.asarray(dmask),
-        dirichlet_value=jnp.zeros((n_nodes, d), config.dtype()),
-    )
+    if unstructured:
+        grid = femesh.from_gid(bg, dirichlet_mask=dmask)
+    else:
+        grid = Grid(
+            dims=tuple(dims),
+            spacing=h,
+            origin=tuple(origin),
+            dirichlet_mask=jnp.asarray(dmask),
+            dirichlet_value=jnp.zeros((n_nodes, d), config.dtype()),
+        )
 
     # --- materials ---
     mats = _materials(blocks)
