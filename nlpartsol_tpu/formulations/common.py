@@ -11,13 +11,16 @@ def shapefun_eval(cfg, grid, p):
     offsets (K, d) static numpy array)."""
     if isinstance(grid, femesh.FEMesh):
         # unstructured T3/Q4/T4/H8 background mesh: isoparametric elements
-        # (window offsets are meaningless — the ScatterEngine routes P2G/G2P
-        # through the per-particle node_ids pattern)
-        if cfg.shapefun != "fem":
-            raise ValueError(
-                "unstructured background meshes currently support shapefun='fem'"
-            )
-        return femesh.evaluate(grid, p.x), None
+        # or meshfree LME over the node cloud (window offsets are
+        # meaningless — the ScatterEngine routes P2G/G2P through the
+        # per-particle node_ids pattern)
+        if cfg.shapefun == "fem":
+            return femesh.evaluate(grid, p.x), None
+        if cfg.shapefun == "lme":
+            return femesh.evaluate_lme(grid, p.x, p.lme_lambda, cfg.lme_params), None
+        raise ValueError(
+            "unstructured background meshes support shapefun='fem' or 'lme'"
+        )
     if cfg.shapefun == "lme":
         sf = lme.evaluate(grid, p.x, p.lme_lambda, cfg.lme_params)
         return sf, lme.offsets_for(grid.dim, cfg.lme_params)

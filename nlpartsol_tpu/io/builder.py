@@ -385,6 +385,15 @@ def build_simulation(path: str) -> SimulationSetup:
         out_dir = str(out.props.get("DIR", out.attrs.get("DIR", out_dir)))
 
     shp, shp_params = _shapefun(blocks)
+    if unstructured and shp == "lme":
+        # meshfree LME over the unstructured node cloud: attach the
+        # support-radius bin grid (femesh.with_node_bins)
+        from ..shapefun import lme as lme_mod
+
+        lp = lme_mod.LMEParams(**shp_params)
+        grid = femesh.with_node_bins(
+            grid, lme_mod.support_radius(lp, grid.h_avg)
+        )
 
     # --- mixtures (soil-water coupling) ---
     mixtures = _mixtures(blocks)

@@ -91,6 +91,12 @@ class FEMesh:
     dirichlet_mask: jax.Array = None  # (Nn, d) bool
     dirichlet_value: jax.Array = None  # (Nn, d)
     active: jax.Array = None
+    # node-cloud bin grid for meshfree (LME) supports on unstructured
+    # meshes — built on demand by :func:`with_node_bins`
+    nbin_origin: tuple = struct.field(pytree_node=False, default=None)
+    nbin_spacing: float = struct.field(pytree_node=False, default=None)
+    nbin_dims: tuple = struct.field(pytree_node=False, default=None)
+    nbin_nodes: jax.Array = None  # (Nbins, Bmax) int32, -1 padded
 
     @property
     def dim(self) -> int:
@@ -329,6 +335,105 @@ def build_femesh(
         dirichlet_mask=jnp.asarray(dirichlet_mask),
         dirichlet_value=jnp.asarray(dirichlet_value, dt),
     )
+
+
+def with_node_bins(mesh: FEMesh, radius: float) -> FEMesh:
+    """Attach a node-cloud bin grid with bin edge = ``radius`` so the 3^d
+    neighbourhood of a particle's bin covers every node within ``radius``
+    (host, NumPy).  This is the TPU replacement for the reference's
+    ring-expanded nodal localities feeding ``tributary__LME__``
+    (Read_GramsBox.c:96-103, LME.c:1019-1099): arithmetic binning instead
+    of graph walks, padded candidate lists instead of linked sets."""
+    coords = np.asarray(mesh.nodes, np.float64)
+    d = coords.shape[1]
+    lo = coords.min(axis=0) - 1e-9
+    hi = coords.max(axis=0) + 1e-9
+    bdims = np.maximum(np.ceil((hi - lo) / radius).astype(int), 1)
+    nbins = int(np.prod(bdims))
+    idx = np.clip(((coords - lo) / radius).astype(int), 0, bdims - 1)
+    strides = np.concatenate([np.cumprod(bdims[::-1])[-2::-1], [1]]).astype(int)
+    flat = (idx * strides).sum(axis=1)
+    order = np.argsort(flat, kind="stable")
+    counts = np.bincount(flat, minlength=nbins)
+    bmax = max(1, int(counts.max()))
+    table = np.full((nbins, bmax), -1, np.int32)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for b in range(nbins):
+        s, e = starts[b], starts[b + 1]
+        table[b, : e - s] = order[s:e]
+    return mesh.replace(
+        nbin_origin=tuple(float(v) for v in lo),
+        nbin_spacing=float(radius),
+        nbin_dims=tuple(int(v) for v in bdims),
+        nbin_nodes=jnp.asarray(table),
+    )
+
+
+def lme_candidates(mesh: FEMesh, x: jax.Array):
+    """Per-particle padded candidate node list from the 3^d surrounding
+    bins.  Returns (node_ids (Np, K), valid (Np, K)) with K = 3^d·Bmax."""
+    d = mesh.dim
+    org = jnp.asarray(mesh.nbin_origin, x.dtype)
+    bd = jnp.asarray(mesh.nbin_dims, jnp.int32)
+    b = jnp.clip(
+        jnp.floor((x - org) / mesh.nbin_spacing).astype(jnp.int32), 0, bd - 1
+    )
+    strides = []
+    s = 1
+    for n in reversed(mesh.nbin_dims):
+        strides.append(s)
+        s *= n
+    strides = jnp.asarray(list(reversed(strides)), jnp.int32)
+    offs = jnp.asarray(
+        np.stack(
+            np.meshgrid(*([np.arange(-1, 2)] * d), indexing="ij"), -1
+        ).reshape(-1, d),
+        jnp.int32,
+    )  # (3^d, d)
+    nb = b[:, None, :] + offs[None, :, :]  # (Np, 3^d, d)
+    inb = ((nb >= 0) & (nb < bd)).all(-1)
+    nb = jnp.clip(nb, 0, bd - 1)
+    flat = (nb * strides).sum(-1)  # (Np, 3^d)
+    ids = mesh.nbin_nodes[flat]  # (Np, 3^d, Bmax)
+    valid = inb[..., None] & (ids >= 0)
+    K = ids.shape[1] * ids.shape[2]
+    return jnp.maximum(ids, 0).reshape(-1, K), valid.reshape(-1, K)
+
+
+def evaluate_lme(mesh: FEMesh, x: jax.Array, lam0: jax.Array, params):
+    """LME shape functions on the unstructured node cloud — the
+    reference's flagship configuration (GramsShapeFun Type=LME on a GiD
+    mesh; LME.c:700-891 with tributary sets from nodal localities).
+
+    β = γ/h̄² with h̄ the mesh's mean edge (the reference uses the
+    per-node ``h_avg``, Read_GramsBox.c); supports are radius-bounded via
+    the node bin grid (``with_node_bins`` must have been called).  Same
+    return contract as lme.evaluate.
+    """
+    from . import lme as lme_mod
+
+    if mesh.nbin_nodes is None:
+        raise ValueError("call with_node_bins(mesh, support_radius) first")
+    beta = lme_mod.beta_of(params, mesh.h_avg)
+    r_sup = lme_mod.support_radius(params, mesh.h_avg)
+    node_ids, valid = lme_candidates(mesh, x)
+    rel = x[:, None, :] - mesh.nodes[node_ids]
+    sq = jnp.sum(rel * rel, axis=-1)
+    mask = valid & (sq <= r_sup * r_sup)
+    if mesh.active is not None:
+        mask = mask & mesh.active[node_ids]
+    lam = lme_mod.solve_lambda(rel, mask, lam0, beta, params)
+    f = -beta * sq + jnp.einsum("pi,pki->pk", lam, rel)
+    N = lme_mod._masked_softmax(f, mask)
+    r, J = lme_mod._r_and_J(N, rel)
+    d = x.shape[-1]
+    Jinv = tn.inv(
+        J + 1e-10 * tn.trace(J)[..., None, None] * jnp.eye(d, dtype=J.dtype)
+    )
+    dN = -N[..., None] * jnp.einsum("pij,pkj->pki", Jinv, rel - r[:, None, :])
+    N = jnp.where(mask, N, 0.0)
+    dN = jnp.where(mask[..., None], dN, 0.0)
+    return dict(node_ids=node_ids, N=N, dN=dN, mask=mask, lam=lam)
 
 
 def from_gid(mesh, **kw) -> FEMesh:

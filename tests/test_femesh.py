@@ -166,3 +166,78 @@ def test_bar_vibration_unstructured_t3():
     u_num = np.asarray(p1.dis)[:, 0]
     err = np.abs(u_num - u_ref).max() / (V / omega)
     assert err < 0.12, f"quarter-period displacement error {err:.3f}"
+
+
+def _unstructured_bar_problem():
+    L, H = 1.0, 0.15
+    coords, tris, ids = _tri_bar(nx=24, ny=3, L=L, H=H)
+    dmask = np.zeros((len(coords), 2), bool)
+    dmask[ids[0, :], 0] = True
+    dmask[ids[-1, :], 0] = True
+    dmask[:, 1] = True
+    mesh = femesh.build_femesh(coords, tris, "T3", dirichlet_mask=dmask)
+    xe = coords[tris]
+    bary = np.array([[0.5, 0.25, 0.25], [0.25, 0.5, 0.25], [0.25, 0.25, 0.5]])
+    pts = np.einsum("ba,eai->ebi", bary, xe).reshape(-1, 2)
+    e1, e2 = xe[:, 1] - xe[:, 0], xe[:, 2] - xe[:, 0]
+    area = 0.5 * np.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
+    vol = np.repeat(area / 3.0, 3)
+    p = make_particles(
+        pts.astype(np.float32),
+        mass=(RHO * vol).astype(np.float32),
+        vol0=vol.astype(np.float32),
+    )
+    mats = M.material_table(
+        [M.material(kind="Neo-Hookean-Wriggers", E=E_, nu=0.0, rho0=RHO)]
+    )
+    return mesh, p, pts, mats, L
+
+
+def test_bar_vibration_unstructured_lme():
+    """Meshfree LME over the unstructured node cloud — the reference's
+    flagship configuration (GramsShapeFun Type=LME on a GiD mesh)."""
+    from nlpartsol_tpu.shapefun import lme as lme_mod
+
+    mesh, p, pts, mats, L = _unstructured_bar_problem()
+    lp = lme_mod.LMEParams(gamma=3.0)
+    mesh = femesh.with_node_bins(mesh, lme_mod.support_radius(lp, mesh.h_avg))
+    V = 0.01
+    omega = np.pi * C / L
+    vx = V * np.sin(np.pi * pts[:, 0] / L)
+    p = p.replace(v=jnp.asarray(np.stack([vx, np.zeros_like(vx)], -1), jnp.float32))
+    dt = courant_dt(0.2, mesh.spacing, C)
+    cfg = ExplicitConfig(
+        dt=dt, shapefun="lme", lme_params=lp, kinds=(M.NEO_HOOKEAN,), transfer="scatter"
+    )
+    # PoU sanity on the meshfree basis first
+    sf = femesh.evaluate_lme(mesh, p.x, p.lme_lambda, lp)
+    np.testing.assert_allclose(np.asarray(sf["N"].sum(-1)), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sf["dN"].sum(1)), 0.0, atol=2e-2)
+    n_quarter = int(round((np.pi / 2 / omega) / dt))
+    runj = jax.jit(run, static_argnums=(3, 4))
+    p1, _ = runj(p, mesh, mats, cfg, n_quarter)
+    u_ref = (V / omega) * np.sin(np.pi * pts[:, 0] / L)
+    err = np.abs(np.asarray(p1.dis)[:, 0] - u_ref).max() / (V / omega)
+    assert err < 0.12, f"quarter-period displacement error {err:.3f}"
+
+
+def test_implicit_unstructured_t3():
+    """Implicit Newmark-β on the unstructured mesh (ScatterEngine path)."""
+    from nlpartsol_tpu.formulations.implicit import ImplicitConfig, implicit_step
+
+    mesh, p, pts, mats, L = _unstructured_bar_problem()
+    V = 0.01
+    vx = V * np.sin(np.pi * pts[:, 0] / L)
+    p = p.replace(v=jnp.asarray(np.stack([vx, np.zeros_like(vx)], -1), jnp.float32))
+    dt = courant_dt(1.0, mesh.spacing, C)  # implicit: larger step
+    cfg = ImplicitConfig(
+        dt=dt, shapefun="fem", kinds=(M.NEO_HOOKEAN,), transfer="scatter",
+        newton_tol=1e-6, newton_maxiter=20,
+    )
+    stepj = jax.jit(implicit_step, static_argnums=(3,))
+    body = jnp.zeros((2,), jnp.float32)
+    for _ in range(3):
+        p, diag = stepj(p, mesh, mats, cfg, body)
+    assert bool(diag["converged"])
+    assert np.isfinite(np.asarray(p.x)).all()
+    assert float(jnp.abs(p.dis).max()) < 0.01  # small-amplitude regime
