@@ -8,6 +8,7 @@ VTK/CSV results every ``out_every`` steps.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -51,9 +52,12 @@ def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_b
         or setup.solver.scheme
         not in (EXPLICIT_SCHEMES | IMPLICIT_SCHEMES | STATIC_SCHEMES)
         or setup.shapefun != "lme"
-        or setup.grid.dim != 2
+        or not (
+            setup.grid.dim == 2
+            or (setup.grid.dim == 3 and setup.solver.scheme in EXPLICIT_SCHEMES)
+        )
     ):
-        # fused kernels currently cover the explicit+implicit 2D LME -u
+        # fused kernels cover the explicit 2D/3D and implicit 2D LME -u
         # paths; others take the XLA windowed engine (same slot layout,
         # same physics)
         transfer = "windowed"
@@ -117,6 +121,7 @@ def run_simulation(
     n_steps: Optional[int] = None,
     progress: bool = True,
     check_lost: bool = True,
+    profile_dir: Optional[str] = None,
 ):
     """Run the configured simulation; returns (particles, history dict)."""
     from .shapefun.femesh import FEMesh
@@ -271,29 +276,49 @@ def run_simulation(
             history["kinetic_energy"].append(float(out["kinetic_energy"][k]))
             history["strain_energy"].append(float(out["strain_energy"][k]))
 
+    # observability (SURVEY §5.1): coarse per-stage wall timers always on
+    # (cheap; summarised in history); full device trace when profile_dir set
+    from .utils import profiling
+
+    stages = profiling.StageTimer()
+    prof_ctx = (
+        profiling.trace(profile_dir) if profile_dir else contextlib.nullcontext()
+    )
+
     t0 = time.time()
     i0 = setup.solver.i0
     i_end = i0 + n
     i = i0
+    nnz_total = 0
     # chunk layout: 1 step (emit at i0), then out_every-sized chunks so every
     # i % out_every == 0 lands on a chunk boundary — ≤ 3 distinct jits
-    while i < i_end:
-        if i == i0:
-            size = 1
-        else:
-            size = min(setup.out_every, i_end - i)
-        idx = jnp.arange(i, i + size)
-        p, out = scan_chunk(p, idx)
-        consume(i, out)
-        i += size
-        last = i - 1
-        if write_outputs and (last % setup.out_every == 0):
-            vtk.write_particles_vtk(
-                os.path.join(setup.out_dir, f"particles_{last:06d}.vtk"), p
-            )
-        if progress:
-            print(f"  step {last}/{i_end} t={i * dt:.4e}", flush=True)
+    with prof_ctx:
+        while i < i_end:
+            if i == i0:
+                size = 1
+            else:
+                size = min(setup.out_every, i_end - i)
+            idx = jnp.arange(i, i + size)
+            with stages("step_chunks"):
+                p, out = scan_chunk(p, idx)
+                jax.block_until_ready(out["lost"])
+            with stages("host_consume"):
+                consume(i, out)
+            i += size
+            last = i - 1
+            if write_outputs and (last % setup.out_every == 0):
+                with stages("vtk_output"):
+                    vtk.write_particles_vtk(
+                        os.path.join(setup.out_dir, f"particles_{last:06d}.vtk"), p
+                    )
+            if progress:
+                print(f"  step {last}/{i_end} t={i * dt:.4e}", flush=True)
 
+    wall = time.time() - t0
+    history["stage_timings"] = stages.summary()
+    history["wall_s"] = wall
+    history["steps_per_s"] = n / max(wall, 1e-12)
     if progress:
-        print(f"done: {n} steps in {time.time() - t0:.1f}s")
+        print(f"done: {n} steps in {wall:.1f}s")
+        print(stages.report())
     return p, history

@@ -310,8 +310,6 @@ def _explicit_step_pallas(
 
     if cfg.shapefun != "lme":
         raise ValueError("pallas transfer currently implements LME only")
-    if grid.dim != 2:
-        raise ValueError("pallas transfer is 2D; use transfer='windowed' for 3D")
     box = cfg.active_box
     dt, gamma, d = cfg.dt, cfg.gamma, p.dim
     C, nc = box.capacity, box.n_cells
@@ -353,9 +351,9 @@ def _explicit_step_pallas(
     # --- scatter #1 (solves λ): lumped mass + momentum increment [+ traction]
     d_dis_p = dt * p.v + 0.5 * dt * dt * p.a
     v_pred = p.v + (1.0 - gamma) * dt * p.a
-    chans = [p.mass, p.mass * d_dis_p[:, 0], p.mass * d_dis_p[:, 1]]
+    chans = [p.mass] + [p.mass * d_dis_p[:, i] for i in range(d)]
     if traction is not None:
-        chans += [traction_area * traction[:, 0], traction_area * traction[:, 1]]
+        chans += [traction_area * traction[:, i] for i in range(d)]
     fN = jnp.stack([pt.to_channel_leading(c, C, nc)[0] for c in chans])
     nodes1, lam_new, nnz = pt.fused_scatter(
         grid, box, cfg.lme_params, x_t, lam_t, act_t, fN, solve=True,
@@ -363,8 +361,8 @@ def _explicit_step_pallas(
     )
     m_nodes = nodes1[:, 0]
     m_safe = jnp.maximum(m_nodes, cfg.mass_tol)[:, None]
-    d_dis_nodes = nodes1[:, 1:3] / m_safe
-    traction_forces = nodes1[:, 3:5] if traction is not None else None
+    d_dis_nodes = nodes1[:, 1 : 1 + d] / m_safe
+    traction_forces = nodes1[:, 1 + d : 1 + 2 * d] if traction is not None else None
 
     if grid.dirichlet_mask is not None:
         d_dis_nodes = jnp.where(grid.dirichlet_mask, grid.dirichlet_value, d_dis_nodes)
@@ -430,13 +428,13 @@ def _explicit_step_pallas(
     # --- scatter #2: internal forces f_A = −Σ V0·τ·∇N¹ = Σ G·∇N with
     # G = −V0·τ_eff·DF⁻ᵀ (push-forward folded into the matrix) ---
     G = -tn.bmm(tau_eff * p.vol0[:, None, None], tn.inv_transpose(DF))
-    G_t = pt.to_channel_leading(G.reshape(-1, 4), C, nc)
+    G_t = pt.to_channel_leading(G.reshape(-1, d * d), C, nc)
     dummy = pt.to_channel_leading(jnp.zeros_like(p.mass), C, nc)
     nodes2, _, _ = pt.fused_scatter(
         grid, box, cfg.lme_params, x_t, lam_new, act_t, dummy, G_t=G_t,
         solve=False, margin=margin,
     )
-    forces = nodes2[:, 1:3]
+    forces = nodes2[:, 1 : 1 + d]
     if traction_forces is not None:
         forces = forces + traction_forces
 

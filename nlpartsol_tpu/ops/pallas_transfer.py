@@ -483,10 +483,19 @@ def fused_scatter(
     margin: int = 0,
     gnorm: bool = False,
 ):
-    """Fused LME+P2G.  Returns (nodes (n_nodes, cout), lam (2, C, nc));
-    cout = cN (+2 when G_t given, the Σ G·∇N vector appended; +1 when
+    """Fused LME+P2G.  Returns (nodes (n_nodes, cout), lam (d, C, nc));
+    cout = cN (+d when G_t given, the Σ G·∇N vector appended; +1 when
     ``gnorm``: Σ s·|∇N|² with s = the LAST fN channel — the Jacobi
-    stiffness diagonal of the implicit path)."""
+    stiffness diagonal of the implicit path).  3D grids dispatch to the
+    H8-window kernels in ops/pallas_transfer3d.py."""
+    if grid.dim == 3:
+        from . import pallas_transfer3d as pt3
+
+        pt3.FORCE_INTERPRET = FORCE_INTERPRET
+        return pt3.fused_scatter3(
+            grid, box, params, x_t, lam_t, act_t, fN_t, G_t=G_t,
+            solve=solve, margin=margin, gnorm=gnorm,
+        )
     if not _on_tpu() and not FORCE_INTERPRET:
         return _scatter_xla(
             grid, box, params, x_t, lam_t, act_t, fN_t, G_t, solve, margin,
@@ -634,8 +643,16 @@ def fused_gather(
     g_grad: Optional[jax.Array] = None,  # (n_nodes, 2)
     margin: int = 0,
 ):
-    """Fused LME+G2P.  Returns (outN (Ns, cN) | None, grad (Ns, 2, 2) | None)
+    """Fused LME+G2P.  Returns (outN (Ns, cN) | None, grad (Ns, d, d) | None)
     where grad[s, i, j] = Σ_A g_grad[A, i]·∂N_A/∂x_j."""
+    if grid.dim == 3:
+        from . import pallas_transfer3d as pt3
+
+        pt3.FORCE_INTERPRET = FORCE_INTERPRET
+        return pt3.fused_gather3(
+            grid, box, params, x_t, lam_t, act_t, gN=gN, g_grad=g_grad,
+            margin=margin,
+        )
     if not _on_tpu() and not FORCE_INTERPRET:
         return _gather_xla(grid, box, params, x_t, lam_t, act_t, gN, g_grad, margin)
     g = _Geom(grid, box, params, margin)

@@ -1,0 +1,751 @@
+"""Fused Pallas TPU kernels for the 3D LME particle↔grid transfers.
+
+3D counterpart of ops/pallas_transfer.py (see that module's design notes);
+replaces the H8-window XLA transfers for 3D runs (reference element analog:
+/root/reference/nl-partsol/src/Nodes/H8.c).  Same storage-free design: the
+LME basis (λ-Newton + N + ∇N; LME.c:272-353,700-891) is recomputed in VMEM
+per pass and contracted immediately — no (Ns, K, …) edge tensors ever reach
+HBM, which at K = (2w+1)³ = 343 (γ=3) matters even more than in 2D.
+
+Axis mapping (grid dims (n0, n1, n2), box cdims (c0, c1, c2)):
+
+* lane axis (128-wide) = cell axis 2; in-kernel lane-offset folding with
+  ``pltpu.roll`` turns the o2 window axis into per-(o0,o1) banks;
+* sublane axis = R=8 cell rows along axis 1 × capacity C (flat row-major);
+* program grid = c0 · ceil(c1/R): one program per (plane, row-block) — the
+  o0 (plane) and o1 (row) window axes become K1² output banks combined by
+  a static-slice XLA epilogue.
+
+The λ-Newton moment sweeps run as ``fori_loop`` over the K offsets (o
+decoded arithmetically) so kernel code size stays flat in K; only the
+single contraction sweep is unrolled (it must issue static roll shifts and
+bank stores).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..shapefun import lme as lme_mod
+from ..types import Grid
+from . import windowed
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _offs(w: int):
+    return list(range(-w, w + 1))
+
+
+def _f(v):
+    return jnp.asarray(v, jnp.float32) if not isinstance(v, (int, float)) else jnp.float32(v)
+
+
+class _Geom3:
+    R = 8  # cell rows (axis 1) per program
+
+    def __init__(self, grid: Grid, box: windowed.ActiveBox, params: lme_mod.LMEParams,
+                 margin: int = 0):
+        assert grid.dim == 3
+        self.h = grid.spacing
+        self.beta = lme_mod.beta_of(params, grid.spacing)
+        r_sup = lme_mod.support_radius(params, grid.spacing)
+        self.r2max = r_sup * r_sup
+        self.w = lme_mod.window_halfwidth(params, 1.0) + margin
+        self.K1 = 2 * self.w + 1
+        self.K = self.K1 ** 3
+        self.c0, self.c1, self.c2 = box.cdims
+        self.c2p = ((self.c2 + 127) // 128) * 128
+        self.c2p2 = ((self.c2 + 2 * self.w + 127) // 128) * 128
+        self.C = box.capacity
+        self.nc = box.n_cells
+        self.n0, self.n1, self.n2 = grid.dims
+        self.o0b, self.o1b, self.o2b = box.offset
+        self.c1p = ((self.c1 + self.R - 1) // self.R) * self.R
+        self.nprog1 = self.c1p // self.R
+        self.nprog = self.c0 * self.nprog1
+        self.RC = self.R * self.C
+        self.params = params
+
+
+def _row_iota3(g: _Geom3):
+    return jax.lax.broadcasted_iota(jnp.int32, (g.RC, g.c2p), 0) // g.C
+
+
+def _row_sum_matrix3(g: _Geom3):
+    i = jax.lax.broadcasted_iota(jnp.int32, (g.R, g.RC), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (g.R, g.RC), 1)
+    return (j // g.C == i).astype(jnp.float32)
+
+
+def _row_rep_matrix3(g: _Geom3):
+    i = jax.lax.broadcasted_iota(jnp.int32, (g.RC, g.R), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (g.RC, g.R), 1)
+    return (i // g.C == j).astype(jnp.float32)
+
+
+def _to_view3(g: _Geom3, a: jax.Array, ch: int) -> jax.Array:
+    """(ch, C, nc) → (nprog, ch, RC, c2p)."""
+    v = a.reshape(ch, g.C, g.c0, g.c1, g.c2)
+    v = jnp.moveaxis(v, (2, 3), (0, 1))  # (c0, c1, ch, C, c2)
+    v = jnp.pad(v, ((0, 0), (0, g.c1p - g.c1), (0, 0), (0, 0), (0, g.c2p - g.c2)))
+    v = v.reshape(g.c0, g.nprog1, g.R, ch, g.C, g.c2p).transpose(0, 1, 3, 2, 4, 5)
+    return v.reshape(g.nprog, ch, g.RC, g.c2p)
+
+
+def _from_view3(g: _Geom3, v: jax.Array, ch: int) -> jax.Array:
+    v = v.reshape(g.c0, g.nprog1, ch, g.R, g.C, g.c2p).transpose(0, 1, 3, 2, 4, 5)
+    v = v.reshape(g.c0, g.c1p, ch, g.C, g.c2p)[:, : g.c1, :, :, : g.c2]
+    return jnp.moveaxis(v, (0, 1), (2, 3)).reshape(ch, g.C, g.nc)
+
+
+def _slot_spec3(g: _Geom3, ch: int):
+    return pl.BlockSpec(
+        (1, ch, g.RC, g.c2p), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _decode(g: _Geom3, k):
+    """Flat window index k → (o0, o1, o2) offsets (traced ints ok)."""
+    K1 = g.K1
+    o0 = k // (K1 * K1) - g.w
+    r = k % (K1 * K1)
+    return o0, r // K1 - g.w, r % K1 - g.w
+
+
+def _inv3_damped(j00, j01, j02, j11, j12, j22):
+    """Damped closed-form symmetric 3×3 inverse (LME Hessian solve;
+    replaces the rcond<1e-8 abort, LME.c:308-313).  Returns the 6 unique
+    inverse entries."""
+    tr = j00 + j11 + j22
+    eps = 1e-10 * jnp.maximum(tr, 1e-30)
+    j00 = j00 + eps
+    j11 = j11 + eps
+    j22 = j22 + eps
+    a00 = j11 * j22 - j12 * j12
+    a01 = -(j01 * j22 - j02 * j12)
+    a02 = j01 * j12 - j02 * j11
+    a11 = j00 * j22 - j02 * j02
+    a12 = -(j00 * j12 - j01 * j02)
+    a22 = j00 * j11 - j01 * j01
+    det = j00 * a00 + j01 * a01 + j02 * a02
+    det = jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    inv = 1.0 / det
+    return a00 * inv, a01 * inv, a02 * inv, a11 * inv, a12 * inv, a22 * inv
+
+
+def _terms3(g: _Geom3, x0, x1, x2, act, pz, cy):
+    """rel / valid closures over a window offset (static or traced)."""
+    h = g.h
+    lane = jax.lax.broadcasted_iota(jnp.int32, x0.shape, 1)
+    lanef = lane.astype(jnp.float32)
+    cyf = cy.astype(jnp.float32)
+    pzf = _f(pz)
+
+    def rel(o0, o1, o2):
+        n0 = (pzf + _f(g.o0b) + _f(o0)) * h
+        n1 = (cyf + _f(g.o1b) + _f(o1)) * h
+        n2 = (lanef + _f(g.o2b) + _f(o2)) * h
+        return x0 - n0, x1 - n1, x2 - n2
+
+    def valid(o0, o1, o2):
+        i0 = pz + g.o0b + o0
+        i1 = cy + g.o1b + o1
+        i2 = lane + g.o2b + o2
+        return (
+            act
+            & (i0 >= 0) & (i0 <= g.n0 - 1)
+            & (i1 >= 0) & (i1 <= g.n1 - 1)
+            & (i2 >= 0) & (i2 <= g.n2 - 1)
+        )
+
+    return rel, valid
+
+
+def _f_of(g: _Geom3, rel, valid, lam0, lam1, lam2):
+    neg = jnp.float32(-1e30)
+
+    def f_of(o0, o1, o2):
+        r0, r1, r2 = rel(o0, o1, o2)
+        sq = r0 * r0 + r1 * r1 + r2 * r2
+        f = -g.beta * sq + lam0 * r0 + lam1 * r1 + lam2 * r2
+        return jnp.where(valid(o0, o1, o2) & (sq <= g.r2max), f, neg)
+
+    return f_of, neg
+
+
+def _fmax_sweep(g: _Geom3, f_of, shape):
+    neg = jnp.float32(-1e30)
+
+    def bk(k, fmax):
+        o0, o1, o2 = _decode(g, k)
+        return jnp.maximum(fmax, f_of(o0, o1, o2))
+
+    return jax.lax.fori_loop(0, g.K, bk, jnp.full(shape, neg, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# scatter
+# ---------------------------------------------------------------------------
+
+
+def _make_scatter_kernel3(g: _Geom3, cN: int, has_G: bool, solve: bool,
+                          gnorm: bool = False):
+    w, K1 = g.w, g.K1
+    mx = g.params.max_iter
+    tol2 = g.params.tol_lambda * g.params.tol_lambda * g.r2max
+    cout = cN + (3 if has_G else 0) + (1 if gnorm else 0)
+    need_dn = has_G or gnorm
+
+    def kernel(x_ref, lam_ref, act_ref, fN_ref, G_ref, out_ref, lam_out_ref,
+               cnt_ref):
+        i = pl.program_id(0)
+        pz = i // g.nprog1
+        iy = i % g.nprog1
+        x0 = x_ref[0, 0]
+        x1 = x_ref[0, 1]
+        x2 = x_ref[0, 2]
+        act = act_ref[0, 0] > 0.5
+        lam0 = lam_ref[0, 0]
+        lam1 = lam_ref[0, 1]
+        lam2 = lam_ref[0, 2]
+        cy = iy * g.R + _row_iota3(g)
+        rel, valid = _terms3(g, x0, x1, x2, act, pz, cy)
+        sel = _row_sum_matrix3(g)
+        shape = x0.shape
+
+        if solve:
+            def body(state):
+                lam0, lam1, lam2, _, it = state
+                f_of, neg = _f_of(g, rel, valid, lam0, lam1, lam2)
+                fmax = _fmax_sweep(g, f_of, shape)
+
+                def bk(k, acc):
+                    o0, o1, o2 = _decode(g, k)
+                    f = f_of(o0, o1, o2)
+                    e = jnp.where(f > neg * 0.5, jnp.exp(f - fmax), 0.0)
+                    l0, l1, l2 = rel(o0, o1, o2)
+                    S0, S1_0, S1_1, S1_2, S00, S01, S02, S11, S12, S22 = acc
+                    return (
+                        S0 + e,
+                        S1_0 + e * l0, S1_1 + e * l1, S1_2 + e * l2,
+                        S00 + e * l0 * l0, S01 + e * l0 * l1, S02 + e * l0 * l2,
+                        S11 + e * l1 * l1, S12 + e * l1 * l2, S22 + e * l2 * l2,
+                    )
+
+                zero = jnp.zeros(shape, jnp.float32)
+                acc = jax.lax.fori_loop(0, g.K, bk, (zero,) * 10)
+                S0, S1_0, S1_1, S1_2, S00, S01, S02, S11, S12, S22 = acc
+                Zs = jnp.maximum(S0, 1e-30)
+                r0 = S1_0 / Zs
+                r1 = S1_1 / Zs
+                r2 = S1_2 / Zs
+                j00 = S00 / Zs - r0 * r0
+                j01 = S01 / Zs - r0 * r1
+                j02 = S02 / Zs - r0 * r2
+                j11 = S11 / Zs - r1 * r1
+                j12 = S12 / Zs - r1 * r2
+                j22 = S22 / Zs - r2 * r2
+                i00, i01, i02, i11, i12, i22 = _inv3_damped(
+                    j00, j01, j02, j11, j12, j22
+                )
+                live = act & (S0 > 0.0)
+                rn2 = jnp.where(live, r0 * r0 + r1 * r1 + r2 * r2, 0.0)
+                conv = rn2 <= tol2
+                lam0 = jnp.where(conv, lam0, lam0 - (i00 * r0 + i01 * r1 + i02 * r2))
+                lam1 = jnp.where(conv, lam1, lam1 - (i01 * r0 + i11 * r1 + i12 * r2))
+                lam2 = jnp.where(conv, lam2, lam2 - (i02 * r0 + i12 * r1 + i22 * r2))
+                return lam0, lam1, lam2, jnp.all(conv), it + jnp.int32(1)
+
+            def cond(state):
+                return jnp.logical_not(state[3]) & (state[4] < mx)
+
+            lam0, lam1, lam2, _, _ = jax.lax.while_loop(
+                cond, body,
+                (lam0, lam1, lam2, jnp.asarray(False), jnp.int32(0)),
+            )
+        lam_out_ref[0, 0] = lam0
+        lam_out_ref[0, 1] = lam1
+        lam_out_ref[0, 2] = lam2
+
+        # converged-basis passes: fmax, then Z + edge count
+        f_of, neg = _f_of(g, rel, valid, lam0, lam1, lam2)
+        fmax = _fmax_sweep(g, f_of, shape)
+
+        def bz(k, acc):
+            o0, o1, o2 = _decode(g, k)
+            f = f_of(o0, o1, o2)
+            e = jnp.where(f > neg * 0.5, jnp.exp(f - fmax), 0.0)
+            return acc[0] + e, acc[1] + (e > 0.0).astype(jnp.float32)
+
+        zero = jnp.zeros(shape, jnp.float32)
+        Z, cnt = jax.lax.fori_loop(0, g.K, bz, (zero, zero))
+        Zs = jnp.maximum(Z, 1e-30)
+        total = jnp.sum(cnt)
+        onehot = (
+            (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0)
+            & (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0)
+        )
+        cnt_ref[0] = jnp.where(onehot, total, 0.0)
+
+        def e_of(o0, o1, o2):
+            f = f_of(o0, o1, o2)
+            return jnp.where(f > neg * 0.5, jnp.exp(f - fmax), 0.0)
+
+        if need_dn:
+            # r and J moments of the normalised basis (LME.c:766,795)
+            def bm(k, acc):
+                o0, o1, o2 = _decode(g, k)
+                p = e_of(o0, o1, o2) / Zs
+                l0, l1, l2 = rel(o0, o1, o2)
+                (r0, r1, r2, S00, S01, S02, S11, S12, S22) = acc
+                return (
+                    r0 + p * l0, r1 + p * l1, r2 + p * l2,
+                    S00 + p * l0 * l0, S01 + p * l0 * l1, S02 + p * l0 * l2,
+                    S11 + p * l1 * l1, S12 + p * l1 * l2, S22 + p * l2 * l2,
+                )
+
+            r0, r1, r2, S00, S01, S02, S11, S12, S22 = jax.lax.fori_loop(
+                0, g.K, bm, (zero,) * 9
+            )
+            i00, i01, i02, i11, i12, i22 = _inv3_damped(
+                S00 - r0 * r0, S01 - r0 * r1, S02 - r0 * r2,
+                S11 - r1 * r1, S12 - r1 * r2, S22 - r2 * r2,
+            )
+        if has_G:
+            g00, g01, g02 = G_ref[0, 0], G_ref[0, 1], G_ref[0, 2]
+            g10, g11, g12 = G_ref[0, 3], G_ref[0, 4], G_ref[0, 5]
+            g20, g21, g22 = G_ref[0, 6], G_ref[0, 7], G_ref[0, 8]
+
+        lanepad = g.c2p2 - g.c2p
+        # contraction sweep (unrolled: static roll shifts + bank stores)
+        for o0 in _offs(w):
+            for o1 in _offs(w):
+                acc = [jnp.zeros((g.R, g.c2p2), jnp.float32) for _ in range(cout)]
+                for o2 in _offs(w):
+                    N_k = e_of(o0, o1, o2) / Zs
+                    shift = o2 + w
+                    for c in range(cN):
+                        rows = jnp.dot(sel, N_k * fN_ref[0, c],
+                                       preferred_element_type=jnp.float32)
+                        rows = jnp.pad(rows, ((0, 0), (0, lanepad)))
+                        acc[c] = acc[c] + pltpu.roll(rows, shift, 1)
+                    if need_dn:
+                        l0, l1, l2 = rel(o0, o1, o2)
+                        a0 = l0 - r0
+                        a1 = l1 - r1
+                        a2 = l2 - r2
+                        dn0 = -N_k * (i00 * a0 + i01 * a1 + i02 * a2)
+                        dn1 = -N_k * (i01 * a0 + i11 * a1 + i12 * a2)
+                        dn2 = -N_k * (i02 * a0 + i12 * a1 + i22 * a2)
+                        extra = []
+                        if has_G:
+                            extra += [
+                                (cN, g00 * dn0 + g01 * dn1 + g02 * dn2),
+                                (cN + 1, g10 * dn0 + g11 * dn1 + g12 * dn2),
+                                (cN + 2, g20 * dn0 + g21 * dn1 + g22 * dn2),
+                            ]
+                        if gnorm:
+                            extra += [(cout - 1,
+                                       fN_ref[0, cN - 1]
+                                       * (dn0 * dn0 + dn1 * dn1 + dn2 * dn2))]
+                        for c, v in extra:
+                            rows = jnp.dot(sel, v, preferred_element_type=jnp.float32)
+                            rows = jnp.pad(rows, ((0, 0), (0, lanepad)))
+                            acc[c] = acc[c] + pltpu.roll(rows, shift, 1)
+                bank = (o0 + w) * K1 + (o1 + w)
+                for c in range(cout):
+                    out_ref[0, :, bank * cout + c, :] = acc[c]
+
+    return kernel
+
+
+def _xla_basis3(g: _Geom3, grid, box, params, x_t, lam_t, act_t, solve):
+    """Widened-window 3D LME basis in plain XLA (non-TPU semantics oracle)."""
+    from ..shapefun.window import window_offsets
+    from . import tensor as tn
+
+    x = from_channel_leading(x_t)
+    lam0 = from_channel_leading(lam_t)
+    act = from_channel_leading(act_t)[:, 0] > 0.5
+    offs = window_offsets(3, -g.w, g.w)
+    cells = jnp.asarray(windowed.slot_cells(box))
+    multi = cells[:, None, :] + jnp.asarray(offs)[None, :, :]
+    dims = jnp.asarray(grid.dims)
+    inb = jnp.all((multi >= 0) & (multi < dims), axis=-1)
+    node_pos = multi.astype(x.dtype) * g.h + jnp.asarray(grid.origin, x.dtype)
+    rel = x[:, None, :] - node_pos
+    sq = jnp.sum(rel * rel, axis=-1)
+    mask = inb & (sq <= g.r2max) & act[:, None]
+    if solve:
+        lam = lme_mod.solve_lambda(rel, mask, lam0, g.beta, params)
+    else:
+        lam = lam0
+    f = -g.beta * sq + jnp.einsum("pi,pki->pk", lam, rel)
+    neg = jnp.asarray(-1e30, f.dtype)
+    f = jnp.where(mask, f, neg)
+    fmax = jnp.max(f, axis=-1, keepdims=True)
+    e = jnp.where(mask, jnp.exp(f - fmax), 0.0)
+    Z = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    N = e / Z
+    r = jnp.einsum("pk,pki->pi", N, rel)
+    J = jnp.einsum("pk,pki,pkj->pij", N, rel, rel) - r[:, :, None] * r[:, None, :]
+    Jd = J + 1e-10 * tn.trace(J)[..., None, None] * jnp.eye(3, dtype=J.dtype)
+    dN = -N[..., None] * jnp.einsum("pij,pkj->pki", tn.inv(Jd), rel - r[:, None, :])
+    return offs, N, dN, mask, lam
+
+
+def _scatter_xla3(grid, box, params, x_t, lam_t, act_t, fN_t, G_t, solve, margin,
+                  gnorm=False):
+    g = _Geom3(grid, box, params, margin)
+    offs, N, dN, mask, lam = _xla_basis3(
+        g, grid, box, params, x_t, lam_t, act_t, solve
+    )
+    C, nc = box.capacity, box.n_cells
+    cols = []
+    fN = from_channel_leading(fN_t)
+    cols.append(N[..., None] * fN[:, None, :])
+    if G_t is not None:
+        G = from_channel_leading(G_t).reshape(-1, 3, 3)
+        cols.append(jnp.einsum("pij,pkj->pki", G, dN))
+    if gnorm:
+        s = fN[:, -1]
+        cols.append((s[:, None] * jnp.sum(dN * dN, axis=-1))[..., None])
+    vals = jnp.concatenate(cols, axis=-1)
+    vals = jnp.where(mask[..., None], vals, 0.0)
+    nodes = windowed.p2g(vals, box, grid, offs)
+    nnz = jnp.sum(mask.astype(jnp.int32))
+    return nodes, to_channel_leading(lam, C, nc), nnz
+
+
+def _gather_xla3(grid, box, params, x_t, lam_t, act_t, gN, g_grad, margin):
+    g = _Geom3(grid, box, params, margin)
+    offs, N, dN, mask, _ = _xla_basis3(
+        g, grid, box, params, x_t, lam_t, act_t, solve=False
+    )
+    Nm = jnp.where(mask, N, 0.0)
+    outN = windowed.g2p(gN, Nm, box, grid, offs) if gN is not None else None
+    grad = None
+    if g_grad is not None:
+        per_cell = windowed.cell_edge_field(g_grad, box, grid, offs)
+        K = offs.shape[0]
+        nc = box.n_cells
+        u = jnp.broadcast_to(
+            per_cell.reshape((1, nc, K, 3)), (box.capacity, nc, K, 3)
+        ).reshape(box.n_slots, K, 3)
+        dNm = jnp.where(mask[..., None], dN, 0.0)
+        grad = jnp.einsum("pki,pkj->pij", u, dNm)
+    return outN, grad
+
+
+# Test hook (mirrors pallas_transfer.FORCE_INTERPRET)
+FORCE_INTERPRET = False
+
+
+def fused_scatter3(
+    grid: Grid,
+    box: windowed.ActiveBox,
+    params: lme_mod.LMEParams,
+    x_t: jax.Array,     # (3, C, nc)
+    lam_t: jax.Array,   # (3, C, nc)
+    act_t: jax.Array,   # (1, C, nc)
+    fN_t: jax.Array,    # (cN, C, nc)
+    G_t: Optional[jax.Array] = None,  # (9, C, nc) row-major 3×3
+    solve: bool = True,
+    margin: int = 0,
+    gnorm: bool = False,
+):
+    """Fused 3D LME+P2G.  Returns (nodes (n_nodes, cout), lam (3, C, nc),
+    nnz); cout = cN (+3 when G_t given; +1 when gnorm)."""
+    if not _on_tpu() and not FORCE_INTERPRET:
+        return _scatter_xla3(
+            grid, box, params, x_t, lam_t, act_t, fN_t, G_t, solve, margin, gnorm
+        )
+    g = _Geom3(grid, box, params, margin)
+    cN = fN_t.shape[0]
+    has_G = G_t is not None
+    cout = cN + (3 if has_G else 0) + (1 if gnorm else 0)
+    dt = x_t.dtype
+    org = jnp.asarray(grid.origin, dt)
+    x_shift = x_t - org[:, None, None]
+    if not has_G:
+        G_t = jnp.zeros((9, g.C, g.nc), dt)
+
+    kernel = _make_scatter_kernel3(g, cN, has_G, solve, gnorm)
+    nb = g.K1 * g.K1 * cout
+    out, lam_new, cnt = pl.pallas_call(
+        kernel,
+        grid=(g.nprog,),
+        in_specs=[_slot_spec3(g, 3), _slot_spec3(g, 3), _slot_spec3(g, 1),
+                  _slot_spec3(g, cN), _slot_spec3(g, 9)],
+        out_specs=[
+            pl.BlockSpec((1, g.R, nb, g.c2p2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _slot_spec3(g, 3),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g.nprog, g.R, nb, g.c2p2), dt),
+            jax.ShapeDtypeStruct((g.nprog, 3, g.RC, g.c2p), dt),
+            jax.ShapeDtypeStruct((g.nprog, 8, 128), jnp.float32),
+        ],
+        interpret=not _on_tpu(),
+    )(_to_view3(g, x_shift, 3), _to_view3(g, lam_t, 3), _to_view3(g, act_t, 1),
+      _to_view3(g, fN_t, cN), _to_view3(g, G_t, 9))
+
+    # XLA epilogue: K1² (o0, o1) banks; lane axis already o2-folded.
+    W2 = min(g.c2 + 2 * g.w, g.c2p2)
+    part = (
+        out.reshape(g.c0, g.nprog1, g.R, g.K1 * g.K1, cout, g.c2p2)
+        .reshape(g.c0, g.c1p, g.K1 * g.K1, cout, g.c2p2)[:, : g.c1, :, :, :W2]
+    )
+    nodes = jnp.zeros((g.n0, g.n1, g.n2, cout), dt)
+    cb = g.o2b - g.w
+    clo, chi = max(0, -cb), min(W2, g.n2 - cb)
+    for k0, o0 in enumerate(_offs(g.w)):
+        r0 = g.o0b + o0
+        p0lo, p0hi = max(0, -r0), min(g.c0, g.n0 - r0)
+        for k1, o1 in enumerate(_offs(g.w)):
+            r1 = g.o1b + o1
+            p1lo, p1hi = max(0, -r1), min(g.c1, g.n1 - r1)
+            if p0hi > p0lo and p1hi > p1lo and chi > clo:
+                strip = part[p0lo:p0hi, p1lo:p1hi, k0 * g.K1 + k1, :, clo:chi]
+                nodes = nodes.at[
+                    r0 + p0lo : r0 + p0hi,
+                    r1 + p1lo : r1 + p1hi,
+                    cb + clo : cb + chi,
+                    :,
+                ].add(jnp.moveaxis(strip, 2, 3))
+    lam_new = _from_view3(g, lam_new, 3)
+    return (
+        nodes.reshape(g.n0 * g.n1 * g.n2, cout),
+        lam_new,
+        jnp.sum(cnt[:, 0, 0]).astype(jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gather
+# ---------------------------------------------------------------------------
+
+
+def _make_gather_kernel3(g: _Geom3, cN: int, has_grad: bool, cg: int):
+    w, K1 = g.w, g.K1
+    assert w <= 4, "window halfwidth > 4 needs more plane/row blocks"
+
+    def kernel(x_ref, lam_ref, act_ref,
+               p0r0_ref, p0r1_ref, p1r0_ref, p1r1_ref, p2r0_ref, p2r1_ref,
+               outN_ref, outG_ref, rows_scr):
+        i = pl.program_id(0)
+        pz = i // g.nprog1
+        iy = i % g.nprog1
+        x0 = x_ref[0, 0]
+        x1 = x_ref[0, 1]
+        x2 = x_ref[0, 2]
+        act = act_ref[0, 0] > 0.5
+        lam0 = lam_ref[0, 0]
+        lam1 = lam_ref[0, 1]
+        lam2 = lam_ref[0, 2]
+        cy = iy * g.R + _row_iota3(g)
+        rel, valid = _terms3(g, x0, x1, x2, act, pz, cy)
+        rep = _row_rep_matrix3(g)
+        shape = x0.shape
+        f_of, neg = _f_of(g, rel, valid, lam0, lam1, lam2)
+        fmax = _fmax_sweep(g, f_of, shape)
+
+        def bz(k, acc):
+            o0, o1, o2 = _decode(g, k)
+            f = f_of(o0, o1, o2)
+            return acc + jnp.where(f > neg * 0.5, jnp.exp(f - fmax), 0.0)
+
+        Z = jax.lax.fori_loop(0, g.K, bz, jnp.zeros(shape, jnp.float32))
+        Zs = jnp.maximum(Z, 1e-30)
+
+        def e_of(o0, o1, o2):
+            f = f_of(o0, o1, o2)
+            return jnp.where(f > neg * 0.5, jnp.exp(f - fmax), 0.0)
+
+        if has_grad:
+            zero = jnp.zeros(shape, jnp.float32)
+
+            def bm(k, acc):
+                o0, o1, o2 = _decode(g, k)
+                p = e_of(o0, o1, o2) / Zs
+                l0, l1, l2 = rel(o0, o1, o2)
+                (r0, r1, r2, S00, S01, S02, S11, S12, S22) = acc
+                return (
+                    r0 + p * l0, r1 + p * l1, r2 + p * l2,
+                    S00 + p * l0 * l0, S01 + p * l0 * l1, S02 + p * l0 * l2,
+                    S11 + p * l1 * l1, S12 + p * l1 * l2, S22 + p * l2 * l2,
+                )
+
+            r0, r1, r2, S00, S01, S02, S11, S12, S22 = jax.lax.fori_loop(
+                0, g.K, bm, (zero,) * 9
+            )
+            i00, i01, i02, i11, i12, i22 = _inv3_damped(
+                S00 - r0 * r0, S01 - r0 * r1, S02 - r0 * r2,
+                S11 - r1 * r1, S12 - r1 * r2, S22 - r2 * r2,
+            )
+
+        # stage 24 planes × 16 rows of the padded node field
+        rows_scr[:, 0:8, 0:8, :] = p0r0_ref[:, :, :, :]
+        rows_scr[:, 0:8, 8:16, :] = p0r1_ref[:, :, :, :]
+        rows_scr[:, 8:16, 0:8, :] = p1r0_ref[:, :, :, :]
+        rows_scr[:, 8:16, 8:16, :] = p1r1_ref[:, :, :, :]
+        rows_scr[:, 16:24, 0:8, :] = p2r0_ref[:, :, :, :]
+        rows_scr[:, 16:24, 8:16, :] = p2r1_ref[:, :, :, :]
+
+        pz_mod8 = pz - 8 * (pz // 8)
+        accN = [jnp.zeros(shape, jnp.float32) for _ in range(cN)]
+        accG = [jnp.zeros(shape, jnp.float32) for _ in range(9)]
+        for o0 in _offs(w):
+            plane_l = pz_mod8 + (8 + o0)  # staged-plane index (traced)
+            for o1 in _offs(w):
+                lrow = w + o1  # padded-row of cell row r=0 (static)
+                for o2 in _offs(w):
+                    col = g.o2b + o2 + w  # static padded col of cell j=0
+                    N_k = e_of(o0, o1, o2) / Zs
+                    blk = rows_scr[
+                        :, pl.ds(plane_l, 1), lrow : lrow + 8, col : col + g.c2p
+                    ]  # (cg, 1, 8, c2p)
+                    if has_grad:
+                        l0, l1, l2 = rel(o0, o1, o2)
+                        a0 = l0 - r0
+                        a1 = l1 - r1
+                        a2 = l2 - r2
+                        dn = (
+                            -N_k * (i00 * a0 + i01 * a1 + i02 * a2),
+                            -N_k * (i01 * a0 + i11 * a1 + i12 * a2),
+                            -N_k * (i02 * a0 + i12 * a1 + i22 * a2),
+                        )
+                    for c in range(cN):
+                        gv = jnp.dot(rep, blk[c, 0],
+                                     preferred_element_type=jnp.float32)
+                        accN[c] = accN[c] + N_k * gv
+                    if has_grad:
+                        for ui in range(3):
+                            u = jnp.dot(rep, blk[cN + ui, 0],
+                                        preferred_element_type=jnp.float32)
+                            for vj in range(3):
+                                accG[3 * ui + vj] = accG[3 * ui + vj] + u * dn[vj]
+        if cN:
+            for c in range(cN):
+                outN_ref[0, c] = accN[c]
+        else:
+            outN_ref[0, 0] = jnp.zeros(shape, jnp.float32)
+        for c in range(9):
+            outG_ref[0, c] = accG[c]
+
+    return kernel
+
+
+def fused_gather3(
+    grid: Grid,
+    box: windowed.ActiveBox,
+    params: lme_mod.LMEParams,
+    x_t: jax.Array,     # (3, C, nc)
+    lam_t: jax.Array,   # (3, C, nc) converged λ
+    act_t: jax.Array,   # (1, C, nc)
+    gN: Optional[jax.Array] = None,      # (n_nodes, cN)
+    g_grad: Optional[jax.Array] = None,  # (n_nodes, 3)
+    margin: int = 0,
+):
+    """Fused 3D LME+G2P.  Returns (outN (Ns, cN) | None,
+    grad (Ns, 3, 3) | None)."""
+    if not _on_tpu() and not FORCE_INTERPRET:
+        return _gather_xla3(grid, box, params, x_t, lam_t, act_t, gN, g_grad, margin)
+    g = _Geom3(grid, box, params, margin)
+    dt = x_t.dtype
+    cN = 0 if gN is None else gN.shape[1]
+    has_grad = g_grad is not None
+    fields = ([] if gN is None else [gN]) + ([g_grad] if has_grad else [])
+    cg = cN + (3 if has_grad else 0)
+    if cg == 0:
+        raise ValueError("nothing to gather")
+    g_all = jnp.concatenate(fields, axis=1).reshape(g.n0, g.n1, g.n2, cg)
+
+    # plane padding: front pad ptf with (o0b + ptf) ≡ 0 (mod 8) and an extra
+    # aligned block so plane block (base − 1) exists; see kernel plane_l
+    ptf = ((-g.o0b) % 8) + 8
+    bp0 = (g.o0b + ptf) // 8 - 1  # first fetched plane block for pz = 0
+    n_planes = 8 * (bp0 + (g.c0 - 1) // 8 + 3)
+    # row padding: a = o1b − w + pt_r ≡ 0 (mod 8), pt_r ≥ w
+    pt_r = g.w + ((-g.o1b) % 8)
+    a = g.o1b - g.w + pt_r
+    n_rows = a + 8 * (g.nprog1 - 1) + 16
+    W = max(g.n2 + 2 * g.w, g.o2b + 2 * g.w + g.c2p)
+    gpad = jnp.pad(
+        g_all,
+        (
+            (ptf, max(0, n_planes - g.n0 - ptf)),
+            (pt_r, max(0, n_rows - g.n1 - pt_r)),
+            (g.w, W - g.n2 - g.w),
+            (0, 0),
+        ),
+    )
+    gpad = jnp.moveaxis(gpad, 3, 0)  # (cg, planes, rows, W)
+    a8 = a // 8
+
+    org = jnp.asarray(grid.origin, dt)
+    x_shift = x_t - org[:, None, None]
+
+    def blk_spec(sp, sr):
+        return pl.BlockSpec(
+            (cg, 8, 8, W),
+            lambda i: (0, bp0 + (i // g.nprog1) // 8 + sp, a8 + (i % g.nprog1) + sr, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = _make_gather_kernel3(g, cN, has_grad, cg)
+    outN, outG = pl.pallas_call(
+        kernel,
+        grid=(g.nprog,),
+        in_specs=[
+            _slot_spec3(g, 3), _slot_spec3(g, 3), _slot_spec3(g, 1),
+            blk_spec(0, 0), blk_spec(0, 1),
+            blk_spec(1, 0), blk_spec(1, 1),
+            blk_spec(2, 0), blk_spec(2, 1),
+        ],
+        out_specs=[_slot_spec3(g, max(cN, 1)), _slot_spec3(g, 9)],
+        out_shape=[
+            jax.ShapeDtypeStruct((g.nprog, max(cN, 1), g.RC, g.c2p), dt),
+            jax.ShapeDtypeStruct((g.nprog, 9, g.RC, g.c2p), dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((cg, 24, 16, W), dt),
+        ],
+        interpret=not _on_tpu(),
+    )(_to_view3(g, x_shift, 3), _to_view3(g, lam_t, 3), _to_view3(g, act_t, 1),
+      gpad, gpad, gpad, gpad, gpad, gpad)
+
+    ns = g.C * g.nc
+    outN_r = (
+        jnp.moveaxis(_from_view3(g, outN, max(cN, 1)).reshape(max(cN, 1), ns), 0, 1)
+        if cN
+        else None
+    )
+    grad_r = (
+        jnp.moveaxis(_from_view3(g, outG, 9).reshape(9, ns), 0, 1).reshape(ns, 3, 3)
+        if has_grad
+        else None
+    )
+    return outN_r, grad_r
+
+
+# layout helpers shared with the 2D module
+def to_channel_leading(a: jax.Array, C: int, nc: int) -> jax.Array:
+    if a.ndim == 1:
+        return a.reshape(1, C, nc)
+    return jnp.moveaxis(a, 1, 0).reshape(a.shape[1], C, nc)
+
+
+def from_channel_leading(a: jax.Array) -> jax.Array:
+    return jnp.moveaxis(a.reshape(a.shape[0], -1), 0, 1)
