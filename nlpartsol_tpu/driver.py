@@ -52,14 +52,11 @@ def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_b
         or setup.solver.scheme
         not in (EXPLICIT_SCHEMES | IMPLICIT_SCHEMES | STATIC_SCHEMES)
         or setup.shapefun != "lme"
-        or not (
-            setup.grid.dim == 2
-            or (setup.grid.dim == 3 and setup.solver.scheme in EXPLICIT_SCHEMES)
-        )
+        or setup.grid.dim not in (2, 3)
     ):
-        # fused kernels cover the explicit 2D/3D and implicit 2D LME -u
-        # paths; others take the XLA windowed engine (same slot layout,
-        # same physics)
+        # fused kernels cover the explicit+implicit 2D/3D LME -u paths;
+        # others take the XLA windowed engine (same slot layout, same
+        # physics)
         transfer = "windowed"
     common = dict(
         dt=dt,

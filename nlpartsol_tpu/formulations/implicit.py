@@ -364,7 +364,7 @@ def _implicit_step_pallas(
     traction: Optional[jax.Array] = None,
     traction_area: Optional[jax.Array] = None,
 ):
-    """Fused-Pallas implicit Newmark-β step (2D LME).
+    """Fused-Pallas implicit Newmark-β step (2D/3D LME).
 
     Physics identical to the windowed path; no (Ns, K, ·) edge tensor is
     ever materialised.  Each Newton-CG matvec costs exactly one fused
@@ -379,8 +379,6 @@ def _implicit_step_pallas(
 
     if cfg.shapefun != "lme":
         raise ValueError("pallas transfer currently implements LME only")
-    if grid.dim != 2:
-        raise ValueError("pallas transfer is 2D; use transfer='windowed' for 3D")
     if cfg.precond == "block-jacobi":
         raise ValueError("pallas implicit supports precond='jacobi' only")
     box = cfg.active_box
@@ -408,11 +406,13 @@ def _implicit_step_pallas(
     # --- scatter #1 (solves λ): mass, v/a momenta, traction, Jacobi diag
     lam_p, G_p = lame_parameters(mats.E[p.mat_id], mats.nu[p.mat_id])
     stiff_scale = (lam_p + 2.0 * G_p) * p.vol0
-    chans = [p.mass,
-             p.mass * p.v[:, 0], p.mass * p.v[:, 1],
-             p.mass * p.a[:, 0], p.mass * p.a[:, 1]]
+    chans = (
+        [p.mass]
+        + [p.mass * p.v[:, i] for i in range(d)]
+        + [p.mass * p.a[:, i] for i in range(d)]
+    )
     if traction is not None:
-        chans += [traction_area * traction[:, 0], traction_area * traction[:, 1]]
+        chans += [traction_area * traction[:, i] for i in range(d)]
     chans += [stiff_scale]  # LAST channel doubles as the gnorm weight
     fN = jnp.stack([pt.to_channel_leading(c, C, nc)[0] for c in chans])
     nodes1, lam_new, nnz = pt.fused_scatter(
@@ -423,9 +423,9 @@ def _implicit_step_pallas(
     m_nodes = nodes1[:, 0]
     m_safe = jnp.maximum(m_nodes, cfg.mass_tol)[:, None]
     has_mass = (m_nodes > cfg.mass_tol)[:, None]
-    Un_dt = nodes1[:, 1:3] / m_safe
-    Un_dt2 = nodes1[:, 3:5] / m_safe
-    f_tra = nodes1[:, 5:7] if traction is not None else None
+    Un_dt = nodes1[:, 1 : 1 + d] / m_safe
+    Un_dt2 = nodes1[:, 1 + d : 1 + 2 * d] / m_safe
+    f_tra = nodes1[:, 1 + 2 * d : 1 + 3 * d] if traction is not None else None
     diag_K = nodes1[:, -1]
 
     if grid.dirichlet_mask is not None:
@@ -444,8 +444,8 @@ def _implicit_step_pallas(
     g_scatter = _linear_op(
         lambda G: pt.fused_scatter(
             grid, box, cfg.lme_params, x_t, lam_f, act_t, dummy1,
-            G_t=pt.to_channel_leading(G.reshape(-1, 4), C, nc), solve=False,
-        )[0][:, 1:3]
+            G_t=pt.to_channel_leading(G.reshape(-1, d * d), C, nc), solve=False,
+        )[0][:, 1 : 1 + d]
     )
 
     vel_const_nodes = (nm.alpha_5 - 1.0) * Un_dt + nm.alpha_6 * Un_dt2
@@ -518,7 +518,7 @@ def _implicit_step_pallas(
     gout, _ = pt.fused_gather(
         grid, box, cfg.lme_params, x_t, lam_f, act_t, gN=gfields
     )
-    dis_inc, dv, da = gout[:, 0:2], gout[:, 2:4], gout[:, 4:6]
+    dis_inc, dv, da = gout[:, 0:d], gout[:, d : 2 * d], gout[:, 2 * d : 3 * d]
 
     sel = act[:, None]
     p_out = p.replace(
