@@ -90,6 +90,9 @@ class ImplicitConfig:
     # preconditioner: 'jacobi' (spectral-scalar) or 'block-jacobi'
     # (exact AD-assembled d×d diagonal blocks, ops/bsr.py)
     precond: str = struct.field(pytree_node=False, default="jacobi")
+    # inner linear solver: 'cg' | 'bicgstab' | 'gmres' | 'dense' (direct LU
+    # fallback, ops/solvers.dense_lu — the reference's dgetrs path)
+    linear: str = struct.field(pytree_node=False, default="cg")
     # transfer backend: 'windowed' (needs active_box) or 'scatter'
     transfer: str = struct.field(pytree_node=False, default="scatter")
     active_box: windowed.ActiveBox = struct.field(pytree_node=False, default=None)
@@ -283,6 +286,7 @@ def implicit_step(
         maxiter=cfg.newton_maxiter,
         cg_tol=cfg.cg_tol,
         cg_maxiter=cfg.cg_maxiter,
+        linear=cfg.linear,
         # grid-partitioned vectors (halo sharding): psum all dots/norms
         axis_name=cfg.halo.axis_name if cfg.halo is not None else None,
     )
@@ -500,6 +504,7 @@ def _implicit_step_pallas(
         maxiter=cfg.newton_maxiter,
         cg_tol=cfg.cg_tol,
         cg_maxiter=cfg.cg_maxiter,
+        linear=cfg.linear,
     )
     dU = jnp.where(free, res.x, dU_dirichlet)
 

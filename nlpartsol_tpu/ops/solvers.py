@@ -47,6 +47,45 @@ def _make_vdot(axis_name):
     return vd
 
 
+def dense_lu(
+    A: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    free_mask: Optional[jax.Array] = None,
+) -> CGResult:
+    """Direct dense solve of the matrix-free operator (the reference's
+    LAPACK ``dgetrs`` fallback, src/Linear-Solvers/dgetrs-LAPACK.c:14 and
+    the dense NR paths of U-p/U-pw/DEM).
+
+    Materialises the operator column-by-column (one vmapped application
+    per basis vector) and LU-solves — O(n²) memory / O(n³) flops, for
+    pathological tangents where Krylov stalls, or small strongly-coupled
+    systems.  ``free_mask`` (same shape as b): rows/cols outside the mask
+    get an identity diagonal (Dirichlet handling, the
+    ``MatZeroRowsColumnsIS`` equivalent).
+    """
+    shape = b.shape
+    n = b.size
+    eye = jnp.eye(n, dtype=b.dtype)
+    cols = jax.vmap(lambda e: A(e.reshape(shape)).reshape(-1), out_axes=1)(eye)
+    if free_mask is not None:
+        fm = free_mask.reshape(-1).astype(b.dtype)
+        cols = cols * fm[:, None] * fm[None, :] + jnp.diag(1.0 - fm)
+        b = b * free_mask.reshape(shape).astype(b.dtype)
+    else:
+        # operators restricted to a masked subspace (Dirichlet/inactive
+        # dofs zeroed by the residual) produce structurally zero rows —
+        # give those an identity diagonal so LU stays regular
+        live = jnp.sum(jnp.abs(cols), axis=1) > 0.0
+        cols = cols + jnp.diag((~live).astype(b.dtype))
+    x = jnp.linalg.solve(cols, b.reshape(-1))
+    r = b.reshape(-1) - (cols @ x)
+    return CGResult(
+        x=x.reshape(shape),
+        iters=jnp.asarray(1),
+        residual=jnp.sqrt(jnp.sum(r * r)),
+    )
+
+
 def pcg(
     A: Callable[[jax.Array], jax.Array],
     b: jax.Array,
@@ -316,7 +355,9 @@ def newton_krylov(
         def Jv(v):
             return jax.jvp(residual, (x,), (v,))[1]
 
-        if linear == "bicgstab":
+        if linear == "dense":
+            dx = dense_lu(Jv, -r).x
+        elif linear == "bicgstab":
             dx = bicgstab(
                 Jv, -r, M_inv=M_inv, tol=cg_tol, maxiter=cg_maxiter,
                 axis_name=axis_name,

@@ -119,3 +119,44 @@ def test_quasi_static_gravity_column():
     bulk = (y > 0.15) & (y < 0.85)
     err = np.abs(s_yy[bulk] - s_ref[bulk]).max() / (RHO * g * H)
     assert err < 0.15, f"lithostatic stress error {err:.3f}"
+
+
+def test_implicit_dense_lu_matches_cg():
+    """linear='dense' (direct LU fallback) reproduces the Newton-CG step."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from nlpartsol_tpu.formulations.implicit import ImplicitConfig, implicit_step
+    from nlpartsol_tpu.models import materials as M
+    from nlpartsol_tpu.types import Grid, make_particles
+
+    nx = 6
+    h = 1.0 / nx
+    dims = (nx + 1, 3)
+    nn = dims[0] * dims[1]
+    ids = np.arange(nn).reshape(dims)
+    dmask = np.zeros((nn, 2), bool)
+    dmask[ids[0, :], 0] = True
+    dmask[:, 1] = True
+    grid = Grid(dims=dims, spacing=h, origin=(0.0, 0.0),
+                dirichlet_mask=jnp.asarray(dmask),
+                dirichlet_value=jnp.zeros((nn, 2), jnp.float32))
+    xs = [[(i + 0.5) * h, (j + 0.5) * h] for i in range(nx) for j in range(2)]
+    x = np.array(xs, np.float32)
+    p = make_particles(x, mass=np.full(len(x), 1000.0 * h * h, np.float32),
+                       vol0=np.full(len(x), h * h, np.float32))
+    rng = np.random.default_rng(3)
+    p = p.replace(v=jnp.asarray(0.05 * rng.standard_normal(x.shape), jnp.float32))
+    mats = M.material_table(
+        [M.material(kind="Neo-Hookean-Wriggers", E=1e6, nu=0.3, rho0=1000.0)]
+    )
+    common = dict(dt=1e-3, shapefun="lme", kinds=(M.NEO_HOOKEAN,),
+                  newton_tol=1e-7, newton_maxiter=15)
+    body = jnp.zeros((2,), jnp.float32)
+    stepj = jax.jit(implicit_step, static_argnums=(3,))
+    p_cg, d_cg = stepj(p, grid, mats, ImplicitConfig(**common), body)
+    p_lu, d_lu = stepj(p, grid, mats, ImplicitConfig(linear="dense", **common), body)
+    assert bool(d_cg["converged"]) and bool(d_lu["converged"])
+    np.testing.assert_allclose(np.asarray(p_lu.x), np.asarray(p_cg.x),
+                               rtol=1e-5, atol=1e-7)
+    assert int(d_lu["newton_iters"]) <= int(d_cg["newton_iters"])

@@ -119,3 +119,29 @@ class TestNonsymmetricKrylov:
         )
         x_ref = np.linalg.solve(A, b).reshape(12, 3)
         np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_dense_lu_direct_fallback():
+    """ops/solvers.dense_lu — the reference's LAPACK dgetrs fallback
+    (src/Linear-Solvers/dgetrs-LAPACK.c:14) as a matrix-free direct solve."""
+    import numpy as np
+    import jax.numpy as jnp
+    from nlpartsol_tpu.ops import solvers
+
+    rng = np.random.default_rng(0)
+    n = 24
+    A_np = rng.standard_normal((n, n))
+    A_np = A_np @ A_np.T + n * np.eye(n)  # SPD
+    A_j = jnp.asarray(A_np, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((n,)), jnp.float32)
+    res = solvers.dense_lu(lambda v: A_j @ v, b)
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.linalg.solve(A_np, np.asarray(b)), rtol=2e-4
+    )
+    # shaped unknowns + Dirichlet-style free mask
+    b2 = b.reshape(12, 2)
+    fm = jnp.ones((12, 2), bool).at[0, :].set(False)
+    res2 = solvers.dense_lu(lambda v: (A_j @ v.reshape(-1)).reshape(12, 2), b2,
+                            free_mask=fm)
+    assert np.allclose(np.asarray(res2.x)[0], 0.0)
+    assert float(res2.residual) < 1e-3
