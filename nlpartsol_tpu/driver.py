@@ -306,7 +306,13 @@ def run_simulation(
             if write_outputs and (last % setup.out_every == 0):
                 with stages("vtk_output"):
                     vtk.write_particles_vtk(
-                        os.path.join(setup.out_dir, f"particles_{last:06d}.vtk"), p
+                        os.path.join(setup.out_dir, f"particles_{last:06d}.vtk"),
+                        p,
+                        **(
+                            dict(fields=setup.vtk_fields)
+                            if getattr(setup, "vtk_fields", None)
+                            else {}
+                        ),
                     )
             if progress:
                 print(f"  step {last}/{i_end} t={i * dt:.4e}", flush=True)

@@ -106,6 +106,8 @@ class SimulationSetup:
     neumann: list = field(default_factory=list)  # [(particle_ids, dim, curve)]
     out_dir: str = "output"
     out_every: int = 100
+    # VTK particle fields (GramsOutputs Out-* toggles; None = defaults)
+    vtk_fields: tuple = None
     # formulation: 'u' (single phase), 'up' (mixed u-p), 'upw' (soil-water)
     formulation: str = "u"
     mixtures: object = None  # formulations.upw.MixtureTable for -upw
@@ -380,9 +382,13 @@ def build_simulation(path: str) -> SimulationSetup:
     # --- outputs ---
     out = find(blocks, "GramsOutputs")
     out_dir, out_every = "output", 100
+    vtk_fields = None
     if out is not None:
         out_every = int(out.attrs.get("i", out_every))
         out_dir = str(out.props.get("DIR", out.attrs.get("DIR", out_dir)))
+        from . import vtk as vtk_mod
+
+        vtk_fields = vtk_mod.fields_from_outputs(out.props)
 
     shp, shp_params = _shapefun(blocks)
     if unstructured and shp == "lme":
@@ -423,6 +429,7 @@ def build_simulation(path: str) -> SimulationSetup:
         neumann=neumann,
         out_dir=out_dir,
         out_every=out_every,
+        vtk_fields=vtk_fields,
         formulation=formulation,
         mixtures=mixtures,
     )

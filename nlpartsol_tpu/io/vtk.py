@@ -109,9 +109,37 @@ def write_particles_vtk(
         if "von_mises" in fields:
             fh.write("SCALARS von_mises float 1\nLOOKUP_TABLE default\n")
             _write_array(fh, von_mises_stress(g(p.stress), g(p.stress_zz))[:, None])
+        if "stress_eigenvalues" in fields:
+            # principal Kirchhoff stresses (Out_EigenValues_Stress toggle)
+            d = p.dim
+            s = g(p.stress)
+            s3 = np.zeros((n, 3, 3))
+            s3[:, :d, :d] = 0.5 * (s + np.swapaxes(s, 1, 2))
+            if d == 2:
+                s3[:, 2, 2] = g(p.stress_zz)
+            ev = np.linalg.eigvalsh(s3)[:, ::-1]
+            fh.write("VECTORS stress_eigenvalues float\n")
+            _write_array(fh, ev)
+        if "deformation_gradient" in fields:
+            d = p.dim
+            F = g(p.F)
+            F3 = np.tile(np.eye(3), (n, 1, 1))
+            F3[:, :d, :d] = F
+            fh.write("TENSORS deformation_gradient float\n")
+            _write_array(fh, F3.reshape(n, 9))
+        if "green_lagrange" in fields:
+            # E = ½(FᵀF − I) (reference compute-Strains.c:434)
+            d = p.dim
+            F = g(p.F)
+            E = 0.5 * (np.einsum("pki,pkj->pij", F, F) - np.eye(d))
+            E3 = np.zeros((n, 3, 3))
+            E3[:, :d, :d] = E
+            fh.write("TENSORS green_lagrange float\n")
+            _write_array(fh, E3.reshape(n, 9))
         for name, arr in (
             ("J", p.J),
             ("eps", p.eps),
+            ("kappa", p.kappa),
             ("damage", p.damage),
             ("W", p.W),
             ("mass", p.mass),
@@ -120,7 +148,65 @@ def write_particles_vtk(
             if name in fields:
                 fh.write(f"SCALARS {name} float 1\nLOOKUP_TABLE default\n")
                 _write_array(fh, g(arr)[:, None])
+        if "volume" in fields:
+            fh.write("SCALARS volume float 1\nLOOKUP_TABLE default\n")
+            _write_array(fh, (g(p.vol0) * np.maximum(g(p.J), 0.0))[:, None])
+        if "kinetic_energy" in fields:
+            ke = 0.5 * g(p.mass) * np.sum(g(p.v) ** 2, axis=1)
+            fh.write("SCALARS kinetic_energy float 1\nLOOKUP_TABLE default\n")
+            _write_array(fh, ke[:, None])
     return path
+
+
+#: every supported particle field (WriteVtk.c exposes ~20 toggles,
+#: Types.h:955-973; map .nlp Out-* keys through FIELD_ALIASES below)
+ALL_FIELDS = _DEFAULT_FIELDS + (
+    "stress_eigenvalues",
+    "deformation_gradient",
+    "green_lagrange",
+    "kappa",
+    "volume",
+    "kinetic_energy",
+)
+
+#: reference GramsOutputs toggle name → field name here
+FIELD_ALIASES = {
+    "vel": "velocity",
+    "acc": "acceleration",
+    "dis": "displacement",
+    "stress": "stress",
+    "eigenvalues-stress": "stress_eigenvalues",
+    "von-mises": "von_mises",
+    "deformation-gradient": "deformation_gradient",
+    "green-lagrange": "green_lagrange",
+    "plastic-strain": "eps",
+    "kappa": "kappa",
+    "damage": "damage",
+    "energy": "W",
+    "kinetic-energy": "kinetic_energy",
+    "mass": "mass",
+    "density": "density",
+    "volume": "volume",
+    "jacobian": "J",
+}
+
+
+def fields_from_outputs(props: dict) -> tuple:
+    """GramsOutputs ``Out-<name> = true/false`` toggles → field tuple
+    (defaults when no Out- keys are present)."""
+    toggles = {
+        k[4:].lower(): str(v).lower() in ("true", "1", "yes")
+        for k, v in props.items()
+        if k.lower().startswith("out-")
+    }
+    if not toggles:
+        return _DEFAULT_FIELDS
+    out = []
+    for key, on in toggles.items():
+        name = FIELD_ALIASES.get(key, key.replace("-", "_"))
+        if on and name in ALL_FIELDS and name not in out:
+            out.append(name)
+    return tuple(out) if out else _DEFAULT_FIELDS
 
 
 def write_grid_vtk(

@@ -356,3 +356,30 @@ def test_hydrostatic_and_nodal_initial_conditions(tmp_path):
     v = np.asarray(p.v)
     np.testing.assert_allclose(v[:, 0], 2.5, rtol=1e-6)
     np.testing.assert_allclose(v[:, 1], 0.0, atol=1e-12)
+
+
+def test_vtk_field_toggles(tmp_path):
+    """WriteVtk.c field-toggle parity: all fields writable; GramsOutputs
+    Out-* keys map through FIELD_ALIASES."""
+    import numpy as np
+    from nlpartsol_tpu.io import vtk
+    from nlpartsol_tpu.types import make_particles
+
+    p = make_particles(
+        np.random.default_rng(0).uniform(0, 1, (5, 2)),
+        mass=np.ones(5), vol0=np.ones(5),
+    )
+    path = vtk.write_particles_vtk(
+        str(tmp_path / "all.vtk"), p, fields=vtk.ALL_FIELDS
+    )
+    text = open(path).read()
+    for token in ("stress_eigenvalues", "deformation_gradient",
+                  "green_lagrange", "kappa", "volume", "kinetic_energy",
+                  "von_mises"):
+        assert token in text, token
+    got = vtk.fields_from_outputs(
+        {"Out-Vel": "true", "Out-Von-Mises": "true",
+         "Out-Deformation-Gradient": "true", "Out-Acc": "false"}
+    )
+    assert set(got) == {"velocity", "von_mises", "deformation_gradient"}
+    assert vtk.fields_from_outputs({"DIR": "out"}) == vtk._DEFAULT_FIELDS
