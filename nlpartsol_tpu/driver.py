@@ -248,6 +248,14 @@ def run_simulation(
             strain_energy=diag.get("strain_energy", jnp.zeros(())),
             newton_iters=diag.get("newton_iters", jnp.zeros((), jnp.int32)),
         )
+        # nodal-path CSV events: gather reactions at the recorded node ids
+        for eidx, ev in enumerate(csv_events):
+            if ev["kind"] == "nodes":
+                r = diag.get("reactions")
+                ids = jnp.asarray(ev["ids"])
+                out[f"react_{eidx}"] = (
+                    r[ids] if r is not None else jnp.zeros((len(ev["ids"]), d))
+                )
         return pp, out
 
     @jax.jit
@@ -273,6 +281,17 @@ def run_simulation(
             history["kinetic_energy"].append(float(out["kinetic_energy"][k]))
             history["strain_energy"].append(float(out["strain_energy"][k]))
 
+    # Event-driven CSV outputs (reference NLPS-Out-*-path-csv.c flow)
+    from .io import csv_out
+
+    csv_events = list(getattr(setup, "csv_events", None) or [])
+    recorders = []
+    for ev in csv_events:
+        if ev["kind"] == "particles":
+            recorders.append(csv_out.PathRecorder(ev["ids"], ev["fields"]))
+        else:
+            recorders.append(csv_out.NodeRecorder(ev["ids"]))
+
     # observability (SURVEY §5.1): coarse per-stage wall timers always on
     # (cheap; summarised in history); full device trace when profile_dir set
     from .utils import profiling
@@ -285,24 +304,32 @@ def run_simulation(
     t0 = time.time()
     i0 = setup.solver.i0
     i_end = i0 + n
-    i = i0
     nnz_total = 0
-    # chunk layout: 1 step (emit at i0), then out_every-sized chunks so every
-    # i % out_every == 0 lands on a chunk boundary — ≤ 3 distinct jits
+    # chunk layout: boundaries at every output event (VTK multiples of
+    # out_every + each CSV event's i_start/i_step/i_end schedule) so every
+    # emission observes the exact post-step state; chunk-size set stays
+    # small, so only a handful of distinct scan jits compile
+    bounds = {i_end - 1}
+    bounds.update(s for s in range(i0, i_end) if s % setup.out_every == 0)
+    for ev in csv_events:
+        bounds.update(
+            s
+            for s in range(max(i0, ev["i_start"]), min(i_end, ev["i_end"] + 1))
+            if (s - ev["i_start"]) % ev["i_step"] == 0
+        )
+    i = i0
     with prof_ctx:
-        while i < i_end:
-            if i == i0:
-                size = 1
-            else:
-                size = min(setup.out_every, i_end - i)
-            idx = jnp.arange(i, i + size)
+        for b in sorted(bounds):
+            if b < i:
+                continue
+            idx = jnp.arange(i, b + 1)
             with stages("step_chunks"):
                 p, out = scan_chunk(p, idx)
                 jax.block_until_ready(out["lost"])
             with stages("host_consume"):
                 consume(i, out)
-            i += size
-            last = i - 1
+            i = b + 1
+            last = b
             if write_outputs and (last % setup.out_every == 0):
                 with stages("vtk_output"):
                     vtk.write_particles_vtk(
@@ -314,8 +341,32 @@ def run_simulation(
                             else {}
                         ),
                     )
+            for eidx, (ev, rec) in enumerate(zip(csv_events, recorders)):
+                due = (
+                    ev["i_start"] <= last <= ev["i_end"]
+                    and (last - ev["i_start"]) % ev["i_step"] == 0
+                )
+                if not due:
+                    continue
+                with stages("csv_output"):
+                    if ev["kind"] == "particles":
+                        rec.record((last + 1) * dt, p)
+                    else:
+                        rec.record(
+                            (last + 1) * dt, np.asarray(out[f"react_{eidx}"][-1])
+                        )
             if progress:
                 print(f"  step {last}/{i_end} t={i * dt:.4e}", flush=True)
+
+    if write_outputs:
+        for eidx, (ev, rec) in enumerate(zip(csv_events, recorders)):
+            path = os.path.join(
+                setup.out_dir, ev["dir"], f"{ev['kind']}_path_{eidx}.csv"
+            )
+            if ev["kind"] == "particles":
+                rec.write(path, dim=d)
+            else:
+                rec.write(path)
 
     wall = time.time() - t0
     history["stage_timings"] = stages.summary()

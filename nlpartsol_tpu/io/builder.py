@@ -108,6 +108,9 @@ class SimulationSetup:
     out_every: int = 100
     # VTK particle fields (GramsOutputs Out-* toggles; None = defaults)
     vtk_fields: tuple = None
+    # Event-driven CSV outputs (Out-particles-path-csv / Out-nodal-path-csv
+    # blocks; list of dicts with kind/ids/fields/i_start/i_step/i_end/dir)
+    csv_events: list = field(default_factory=list)
     # formulation: 'u' (single phase), 'up' (mixed u-p), 'upw' (soil-water)
     formulation: str = "u"
     mixtures: object = None  # formulations.upw.MixtureTable for -upw
@@ -390,6 +393,46 @@ def build_simulation(path: str) -> SimulationSetup:
 
         vtk_fields = vtk_mod.fields_from_outputs(out.props)
 
+    # --- Event-driven CSV path outputs (NLPS-Out-{particle,nodal}-path-csv.c;
+    # Event struct Types.h:872-975) ---
+    _CSV_FIELD_MAP = {
+        "velocity": "v", "acceleration": "a", "displacement": "dis",
+        "stress": "stress", "strain": "eps", "deformation-gradient": "F",
+        "damage": "damage",
+    }
+    csv_events = []
+    for b in find_all(
+        blocks, "Out-particles-path-csv", "Out-particle-path-csv",
+        "Out-nodal-path-csv",
+    ):
+        kind = "nodes" if "nodal" in b.keyword else "particles"
+        ids_file = b.props.get("PATH", b.attrs.get("PATH"))
+        ids = (
+            read_node_list(os.path.join(base, str(ids_file)))
+            if ids_file
+            else np.arange(0)
+        )
+        if kind == "nodes" and not unstructured:
+            ids = gid2flat[ids]
+        fields = [
+            _CSV_FIELD_MAP[k[4:].lower()]
+            for k, v in b.props.items()
+            if k.lower().startswith("out-")
+            and str(v).lower() in ("true", "1")
+            and k[4:].lower() in _CSV_FIELD_MAP
+        ]
+        csv_events.append(
+            dict(
+                kind=kind,
+                ids=np.asarray(ids, np.int64),
+                fields=tuple(fields) or ("x", "v"),
+                i_start=int(b.attrs.get("i_ini", b.attrs.get("i_start", 0))),
+                i_step=max(1, int(b.attrs.get("i_step", 1))),
+                i_end=int(b.attrs.get("i_end", sp.n_steps or 1)),
+                dir=str(b.props.get("DIR", "output")),
+            )
+        )
+
     shp, shp_params = _shapefun(blocks)
     if unstructured and shp == "lme":
         # meshfree LME over the unstructured node cloud: attach the
@@ -430,6 +473,7 @@ def build_simulation(path: str) -> SimulationSetup:
         out_dir=out_dir,
         out_every=out_every,
         vtk_fields=vtk_fields,
+        csv_events=csv_events,
         formulation=formulation,
         mixtures=mixtures,
     )

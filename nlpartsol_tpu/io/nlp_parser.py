@@ -65,7 +65,9 @@ _ATTR_RE = re.compile(r"(?P<kw>[\w\-\.]+)\s*\((?P<attrs>[^)]*)\)\s*(?P<brace>\{?
 
 def _parse_attrs(s: str) -> dict:
     out = {}
-    for part in s.split(","):
+    # the reference DSL mixes ',' and ';' separators (GramsBox uses commas,
+    # Out-*-path-csv intervals use semicolons, NLPS-Out-particle-path-csv.c:65)
+    for part in s.replace(";", ",").split(","):
         part = part.strip()
         if not part:
             continue

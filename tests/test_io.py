@@ -383,3 +383,36 @@ def test_vtk_field_toggles(tmp_path):
     )
     assert set(got) == {"velocity", "von_mises", "deformation_gradient"}
     assert vtk.fields_from_outputs({"DIR": "out"}) == vtk._DEFAULT_FIELDS
+
+
+def test_csv_path_events(bar_case, tmp_path, monkeypatch):
+    """Event-driven Gauss-point/particle-path CSV outputs
+    (NLPS-Out-particle-path-csv.c flow)."""
+    (bar_case / "pids.txt").write_text("1\n5\n")
+    nlp = (bar_case / "sim.nlp").read_text()
+    nlp += textwrap.dedent("""
+    Out-particles-path-csv (i_ini=0; i_step=7; i_end=20) {
+        DIR=csvout
+        PATH=pids.txt
+        Out-velocity=true
+        Out-damage=true
+    }
+    """)
+    (bar_case / "sim2.nlp").write_text(nlp)
+    setup = build_simulation(str(bar_case / "sim2.nlp"))
+    assert len(setup.csv_events) == 1
+    ev = setup.csv_events[0]
+    assert ev["kind"] == "particles" and list(ev["ids"]) == [0, 4]
+    assert set(ev["fields"]) == {"v", "damage"}
+
+    monkeypatch.chdir(tmp_path)
+    from nlpartsol_tpu.driver import run_simulation
+
+    p, hist = run_simulation(setup, write_outputs=True, progress=False)
+    path = os.path.join(setup.out_dir, "csvout", "particles_path_0.csv")
+    assert os.path.exists(path)
+    lines = open(path).read().strip().splitlines()
+    # header + records at steps 0, 7, 14 (i_step=7 within 20 steps)
+    assert len(lines) == 1 + 3
+    assert lines[0].startswith("t,p0.v")
+    assert len(lines[1].split(",")) == 1 + 2 * (2 + 1)  # t + 2 pids × (v2, damage)
