@@ -32,7 +32,11 @@ def main(argv=None):
                     help="two-stage static preload then dynamic run")
     ap.add_argument("--OPENMP-CORES", type=int, default=0,
                     help="(compat; ignored — use jax device meshes)")
-    ap.add_argument("--Print-Convergence", action="store_true")
+    ap.add_argument(
+        "--Print-Convergence", dest="Print_Convergence", action="store_true",
+        help="per-step Newton/CG convergence monitor (reference __monitor, "
+        "U-Newmark-beta.c:2076-2152)",
+    )
     ap.add_argument(
         "--transfer",
         choices=["scatter", "windowed", "pallas"],
@@ -75,18 +79,21 @@ def main(argv=None):
         p_static, _ = run_simulation(
             static_setup, transfer=args.transfer,
             write_outputs=not args.no_output, n_steps=args.steps,
+            print_convergence=args.Print_Convergence,
         )
         dyn_setup = _apply_formulation(build_simulation(args.two_stage[1]))
         dyn_setup = dyn_setup.__class__(**{**dyn_setup.__dict__, "particles": p_static})
         p, hist = run_simulation(
             dyn_setup, transfer=args.transfer,
             write_outputs=not args.no_output, n_steps=args.steps,
+            print_convergence=args.Print_Convergence,
         )
     else:
         setup = _apply_formulation(build_simulation(args.sim_file))
         p, hist = run_simulation(
             setup, transfer=args.transfer,
             write_outputs=not args.no_output, n_steps=args.steps,
+            print_convergence=args.Print_Convergence,
         )
     return 0
 

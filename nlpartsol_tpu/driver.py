@@ -53,6 +53,10 @@ def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_b
         not in (EXPLICIT_SCHEMES | IMPLICIT_SCHEMES | STATIC_SCHEMES)
         or setup.shapefun != "lme"
         or setup.grid.dim not in (2, 3)
+        # the fused kernels implement the plain Newton λ-solve only; the
+        # Nelder-Mead guarded wrapper routes to the XLA windowed engine
+        or str(setup.shapefun_params.get("wrapper", "Newton-Raphson"))
+        .lower().replace("_", "-") == "nelder-mead"
     ):
         # fused kernels cover the explicit+implicit 2D/3D LME -u paths;
         # others take the XLA windowed engine (same slot layout, same
@@ -119,6 +123,7 @@ def run_simulation(
     progress: bool = True,
     check_lost: bool = True,
     profile_dir: Optional[str] = None,
+    print_convergence: bool = False,
 ):
     """Run the configured simulation; returns (particles, history dict)."""
     from .shapefun.femesh import FEMesh
@@ -247,6 +252,8 @@ def run_simulation(
             kinetic_energy=diag.get("kinetic_energy", jnp.zeros(())),
             strain_energy=diag.get("strain_energy", jnp.zeros(())),
             newton_iters=diag.get("newton_iters", jnp.zeros((), jnp.int32)),
+            newton_residual=diag.get("newton_residual", jnp.zeros(())),
+            converged=diag.get("converged", jnp.ones((), bool)),
         )
         # nodal-path CSV events: gather reactions at the recorded node ids
         for eidx, ev in enumerate(csv_events):
@@ -278,6 +285,17 @@ def run_simulation(
             history["t"].append((i + 1) * dt)
             if is_implicit:
                 history["newton_iters"].append(int(out["newton_iters"][k]))
+                if print_convergence:
+                    # reference __monitor (U-Newmark-beta.c:2076-2152):
+                    # per-step Newton iteration count, residual norm, reason
+                    conv = bool(np.asarray(out["converged"][k]))
+                    print(
+                        f"  [NR] step {i}: iters="
+                        f"{int(out['newton_iters'][k])} "
+                        f"|R|={float(out['newton_residual'][k]):.6e} "
+                        f"{'CONVERGED' if conv else 'DIVERGED'}",
+                        flush=True,
+                    )
             history["kinetic_energy"].append(float(out["kinetic_energy"][k]))
             history["strain_energy"].append(float(out["strain_energy"][k]))
 
@@ -337,7 +355,7 @@ def run_simulation(
                         p,
                         **(
                             dict(fields=setup.vtk_fields)
-                            if getattr(setup, "vtk_fields", None)
+                            if getattr(setup, "vtk_fields", None) is not None
                             else {}
                         ),
                     )
@@ -363,10 +381,7 @@ def run_simulation(
             path = os.path.join(
                 setup.out_dir, ev["dir"], f"{ev['kind']}_path_{eidx}.csv"
             )
-            if ev["kind"] == "particles":
-                rec.write(path, dim=d)
-            else:
-                rec.write(path)
+            rec.write(path, dim=d)
 
     wall = time.time() - t0
     history["stage_timings"] = stages.summary()

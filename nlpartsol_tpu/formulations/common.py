@@ -45,3 +45,14 @@ def make_engine(cfg, grid, sf, offsets, mask):
             return transfer.HaloEngine(grid, cfg.active_box, offsets, mask, cfg.halo)
         return transfer.WindowedEngine(grid, cfg.active_box, offsets, mask, cfg.axis_name)
     return transfer.ScatterEngine(grid, sf["node_ids"], mask, cfg.axis_name)
+
+
+def found_lost(sf, act):
+    """Particles an unstructured FEMesh could not locate (``found`` flag,
+    shapefun/femesh.py) — counted into the ``lost`` diagnostic so
+    run_simulation's loud-loss check fires instead of silently freezing."""
+    import jax.numpy as jnp
+
+    if sf.get("found") is not None:
+        return jnp.sum(act & ~sf["found"], dtype=jnp.int32)
+    return jnp.zeros((), jnp.int32)

@@ -119,6 +119,10 @@ def explicit_step(
     # --- shape functions (fused local search + N + ∇N) ---
     sf, offsets = shapefun_eval(cfg, grid, p)
     N, dN, mask = sf["N"], sf["dN"], sf["mask"] & act[:, None]
+    if sf.get("found") is not None:
+        # unstructured FEMesh: particles outside every element freeze with
+        # zero N/dN — count them as lost so run_simulation reports loudly
+        lost = lost + jnp.sum(act & ~sf["found"], dtype=jnp.int32)
     eng = make_engine(cfg, grid, sf, offsets, mask)
 
     # --- lumped mass ---

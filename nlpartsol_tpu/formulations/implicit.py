@@ -164,6 +164,9 @@ def implicit_step(
 
     sf, offsets = shapefun_eval(cfg, grid, p)
     N, dN, mask = sf["N"], sf["dN"], sf["mask"] & act[:, None]
+    if sf.get("found") is not None:
+        # unstructured FEMesh: count not-found particles as lost (loud)
+        lost = lost + jnp.sum(act & ~sf["found"], dtype=jnp.int32)
     eng = make_engine(cfg, grid, sf, offsets, mask)
 
     m_nodes = eng.p2g(N * p.mass[:, None])
@@ -301,6 +304,31 @@ def implicit_step(
     J_n1 = tn.det(F_n1)
     J_n1 = jnp.where(J_n1 > 0.0, J_n1, 0.0)
 
+    # reactions: minus the unmasked residual at Dirichlet rows (the free-dof
+    # residual is ~0 at convergence; Dirichlet rows carry the support force
+    # — the reference reports these via the nodal VTK/CSV writers).  Sign
+    # matches the explicit path's `forces` (−internal + traction − inertia).
+    if grid.dirichlet_mask is not None:
+        tau_eff_f = cs.tau * (1.0 - p.damage)[:, None, None]
+        dN1_f = kin.push_forward_dN(dN, DF)
+        fi_f = jnp.einsum("pij,pkj->pki", tau_eff_f * p.vol0[:, None, None], dN1_f)
+        R_full = eng.p2g(fi_f)
+        if traction is not None:
+            tr_f = (N * traction_area[:, None])[..., None] * traction[:, None, :]
+            R_full = R_full - eng.p2g(tr_f)
+        if cfg.quasi_static:
+            R_full = R_full - m_nodes[:, None] * body_accel[None, :]
+        else:
+            R_full = R_full + m_nodes[:, None] * (
+                nm.alpha_1 * dU
+                - nm.alpha_2 * Un_dt
+                - nm.alpha_3 * Un_dt2
+                - body_accel[None, :]
+            )
+        reactions = jnp.where(grid.dirichlet_mask, -R_full, 0.0)
+    else:
+        reactions = jnp.zeros((n_nodes, d), p.x.dtype)
+
     # FLIP/PIC particle update (:1993-2064); alpha_blend=1 ⇒ pure FLIP
     a_blend = cfg.alpha_blend
     dis_inc = eng.g2p(N, dU)
@@ -340,6 +368,7 @@ def implicit_step(
         newton_residual=res.residual_norm,
         converged=res.converged,
         lost=lost,
+        reactions=reactions,
     )
     return p_out, diag_out
 
@@ -516,6 +545,27 @@ def _implicit_step_pallas(
     J_n1 = tn.det(F_n1)
     J_n1 = jnp.where(J_n1 > 0.0, J_n1, 0.0)
 
+    # reactions on Dirichlet rows = −(unmasked residual) at the converged
+    # state; one extra fused G-scatter (same convention as the windowed path)
+    if grid.dirichlet_mask is not None:
+        tau_eff_f = cs.tau * (1.0 - p.damage)[:, None, None]
+        G_f = tn.bmm(tau_eff_f * p.vol0[:, None, None], tn.inv_transpose(DF))
+        R_full = g_scatter(G_f)
+        if f_tra is not None:
+            R_full = R_full - f_tra
+        if cfg.quasi_static:
+            R_full = R_full - m_nodes[:, None] * body_accel[None, :]
+        else:
+            R_full = R_full + m_nodes[:, None] * (
+                nm.alpha_1 * dU
+                - nm.alpha_2 * Un_dt
+                - nm.alpha_3 * Un_dt2
+                - body_accel[None, :]
+            )
+        reactions = jnp.where(grid.dirichlet_mask, -R_full, 0.0)
+    else:
+        reactions = jnp.zeros((n_nodes, d), p.x.dtype)
+
     a_blend = cfg.alpha_blend
     gfields = jnp.concatenate(
         [dU, dU_dt + (1.0 - a_blend) * Un_dt, dU_dt2], axis=1
@@ -553,6 +603,7 @@ def _implicit_step_pallas(
         newton_residual=res.residual_norm,
         converged=res.converged,
         lost=lost,
+        reactions=reactions,
     )
     return p_out, diag_out
 

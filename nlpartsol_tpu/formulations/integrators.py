@@ -31,7 +31,7 @@ from ..ops import tensor as tn
 from ..ops.sparse import nnz as count_nnz
 from ..types import Grid, Particles
 from . import kinematics as kin
-from .common import make_engine, shapefun_eval
+from .common import found_lost, make_engine, shapefun_eval
 from .explicit import ExplicitConfig
 
 
@@ -64,6 +64,7 @@ def forward_euler_step(
 
     sf, offsets = shapefun_eval(cfg, grid, p)
     N, dN, mask = sf["N"], sf["dN"], sf["mask"] & act[:, None]
+    lost = lost + found_lost(sf, act)
     eng = make_engine(cfg, grid, sf, offsets, mask)
 
     m_nodes = eng.p2g(N * p.mass[:, None])
@@ -160,6 +161,7 @@ def generalized_alpha_step(
 
     sf, offsets = shapefun_eval(cfg, grid, p)
     N, dN, mask = sf["N"], sf["dN"], sf["mask"] & act[:, None]
+    lost = lost + found_lost(sf, act)
     eng = make_engine(cfg, grid, sf, offsets, mask)
 
     m_nodes = eng.p2g(N * p.mass[:, None])

@@ -47,7 +47,7 @@ from ..ops.sparse import nnz as count_nnz
 from ..shapefun import alme, lme
 from ..types import Grid, Particles
 from . import kinematics as kin
-from .common import make_engine, shapefun_eval
+from .common import found_lost, make_engine, shapefun_eval
 from .implicit import newmark_parameters
 
 
@@ -118,6 +118,7 @@ def up_step(
     act = p.active
     sf, offsets = shapefun_eval(cfg, grid, p)
     N, dN, mask = sf["N"], sf["dN"], sf["mask"] & act[:, None]
+    lost = lost + found_lost(sf, act)
     eng = make_engine(cfg, grid, sf, offsets, mask)
 
     m_nodes = eng.p2g(N * p.mass[:, None])

@@ -43,7 +43,7 @@ from ..ops.sparse import nnz as count_nnz
 from ..shapefun import lme
 from ..types import Grid, Particles
 from . import kinematics as kin
-from .common import make_engine, shapefun_eval
+from .common import found_lost, make_engine, shapefun_eval
 
 
 @struct.dataclass
@@ -145,6 +145,7 @@ def upw_step(
 
     sf, offsets = shapefun_eval(cfg, grid, p)
     N, dN, mask = sf["N"], sf["dN"], sf["mask"] & act[:, None]
+    lost = lost + found_lost(sf, act)
     eng = make_engine(cfg, grid, sf, offsets, mask)
 
     # --- lumped mixture mass + fluid compressibility ---
@@ -364,6 +365,7 @@ def upw_newmark_step(
 
     sf, offsets = shapefun_eval(cfg, grid, p)
     N, dN, mask = sf["N"], sf["dN"], sf["mask"] & act[:, None]
+    lost = lost + found_lost(sf, act)
     eng = make_engine(cfg, grid, sf, offsets, mask)
 
     m_nodes = eng.p2g(N * p.mass[:, None])

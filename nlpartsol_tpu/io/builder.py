@@ -192,6 +192,14 @@ def _shapefun(blocks):
         params["max_iter"] = int(p["MaxIter"])
     if "TOL-Wrapper" in p:
         params["tol_lambda"] = float(p["TOL-Wrapper"])
+    if "wrapper" in p:
+        w = str(p["wrapper"])
+        if w.lower().replace("_", "-") not in ("newton-raphson", "nelder-mead"):
+            raise ValueError(
+                f"GramsShapeFun wrapper={w!r}: expected Newton-Raphson or "
+                "Nelder-Mead (Read_GramsShapeFun.c:84-190)"
+            )
+        params["wrapper"] = w
     return kind, params
 
 
@@ -398,12 +406,17 @@ def build_simulation(path: str) -> SimulationSetup:
     _CSV_FIELD_MAP = {
         "velocity": "v", "acceleration": "a", "displacement": "dis",
         "stress": "stress", "strain": "eps", "deformation-gradient": "F",
-        "damage": "damage",
+        "damage": "damage", "eps": "eps", "plastic-strain": "eps",
     }
     csv_events = []
     for b in find_all(
         blocks, "Out-particles-path-csv", "Out-particle-path-csv",
         "Out-nodal-path-csv",
+        # Gauss-point evolution: per-particle stress/F/EPS time series
+        # (reference Gauss_Point_evolution__InOutFun__, WriteCSV.c:126-158;
+        # its reader is vestigial there — the block schema mirrors the
+        # particle-path events)
+        "Out-Gauss-Point-evolution-csv",
     ):
         kind = "nodes" if "nodal" in b.keyword else "particles"
         ids_file = b.props.get("PATH", b.attrs.get("PATH"))
@@ -421,11 +434,14 @@ def build_simulation(path: str) -> SimulationSetup:
             and str(v).lower() in ("true", "1")
             and k[4:].lower() in _CSV_FIELD_MAP
         ]
+        default_fields = (
+            ("stress", "F", "eps") if "Gauss" in b.keyword else ("x", "v")
+        )
         csv_events.append(
             dict(
                 kind=kind,
                 ids=np.asarray(ids, np.int64),
-                fields=tuple(fields) or ("x", "v"),
+                fields=tuple(fields) or default_fields,
                 i_start=int(b.attrs.get("i_ini", b.attrs.get("i_start", 0))),
                 i_step=max(1, int(b.attrs.get("i_step", 1))),
                 i_end=int(b.attrs.get("i_end", sp.n_steps or 1)),

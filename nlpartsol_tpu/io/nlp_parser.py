@@ -63,11 +63,29 @@ class Block:
 _ATTR_RE = re.compile(r"(?P<kw>[\w\-\.]+)\s*\((?P<attrs>[^)]*)\)\s*(?P<brace>\{?)")
 
 
+def _split_attrs(s: str):
+    """Split on ','/';' only at brace/bracket nesting depth 0, so vector
+    literals like ``Value={0;10}`` stay one attribute."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "{[(":
+            depth += 1
+        elif ch in "}])":
+            depth -= 1
+        if ch in ",;" and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
 def _parse_attrs(s: str) -> dict:
     out = {}
     # the reference DSL mixes ',' and ';' separators (GramsBox uses commas,
     # Out-*-path-csv intervals use semicolons, NLPS-Out-particle-path-csv.c:65)
-    for part in s.replace(";", ",").split(","):
+    for part in _split_attrs(s):
         part = part.strip()
         if not part:
             continue

@@ -206,7 +206,9 @@ def fields_from_outputs(props: dict) -> tuple:
         name = FIELD_ALIASES.get(key, key.replace("-", "_"))
         if on and name in ALL_FIELDS and name not in out:
             out.append(name)
-    return tuple(out) if out else _DEFAULT_FIELDS
+    # Out- keys present but all false means OFF — the reference writes only
+    # the toggled fields (WriteVtk.c:53-100), never a default fallback set
+    return tuple(out)
 
 
 def write_grid_vtk(

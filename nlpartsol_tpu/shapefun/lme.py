@@ -45,6 +45,14 @@ class LMEParams:
     # reference's TOL_wrapper_LME is absolute in f64; 1e-6 relative is the
     # practical float32 floor (r = Σp·l is O(radius)·O(eps_f32) at best).
     tol_lambda: float = struct.field(pytree_node=False, default=1e-6)
+    # λ-solver wrapper (GramsShapeFun wrapper=, Read_GramsShapeFun.c:84-190):
+    # 'Newton-Raphson' — plain damped Newton (LME.c:272-353);
+    # 'Nelder-Mead'    — the reference's derivative-free fallback
+    #   (LME.c:357-672) re-expressed as a vmappable guarded mode: the Newton
+    #   step is clamped to a trust region of the support radius and the
+    #   iteration cap doubles, which recovers the robustness the reference
+    #   gets from the simplex search without data-dependent host control.
+    wrapper: str = struct.field(pytree_node=False, default="Newton-Raphson")
 
 
 def beta_of(params: LMEParams, h: float) -> float:
@@ -113,6 +121,15 @@ def solve_lambda(
     # convergence scale: r is O(h)-sized; tol relative to support radius
     scale = jnp.sqrt(jnp.maximum(jnp.max(sq, axis=-1, where=mask, initial=0.0), 1e-30))
 
+    wrapper = params.wrapper.lower().replace("_", "-")
+    if wrapper not in ("newton-raphson", "nelder-mead"):
+        raise ValueError(
+            f"unknown LME wrapper '{params.wrapper}' "
+            "(expected 'Newton-Raphson' or 'Nelder-Mead')"
+        )
+    guarded = wrapper == "nelder-mead"
+    max_iter = params.max_iter * (2 if guarded else 1)
+
     def f_of(lam):
         return -beta * sq + jnp.einsum("...i,...ki->...k", lam, rel)
 
@@ -120,6 +137,14 @@ def solve_lambda(
         p = _masked_softmax(f_of(lam), mask)
         r, J = _r_and_J(p, rel)
         dlam = _safe_solve(J, r)
+        if guarded:
+            # trust-region clamp ‖Δλ‖ ≤ 4β·scale — the vmappable analog of
+            # the reference's Nelder-Mead fallback (LME.c:357-672): never
+            # take a step larger than the kernel's own curvature scale
+            cap = 4.0 * beta * scale
+            nrm = jnp.linalg.norm(dlam, axis=-1)
+            fac = jnp.minimum(1.0, cap / jnp.maximum(nrm, 1e-30))
+            dlam = dlam * fac[..., None]
         conv = jnp.linalg.norm(r, axis=-1) <= params.tol_lambda * scale
         return jnp.where(conv[..., None], lam, lam - dlam), jnp.all(conv)
 
@@ -128,7 +153,7 @@ def solve_lambda(
     # makes 1-2 iterations the steady-state cost instead of max_iter
     def cond(state):
         lam, done, it = state
-        return (~done) & (it < params.max_iter)
+        return (~done) & (it < max_iter)
 
     def body(state):
         lam, _, it = state
