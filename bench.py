@@ -60,6 +60,14 @@ def build_problem(n_side=512, ppc=2):
 
 def main():
     import jax
+
+    # Persistent compilation cache: axon remote kernel compiles are very
+    # slow (~minutes per distinct program over the tunnel) but cache-stable;
+    # warmed by the round's profiling runs so the recorded bench measures
+    # execution, not compilation.
+    os.makedirs("/root/jaxcache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from nlpartsol_tpu.formulations.explicit import ExplicitConfig, explicit_step

@@ -317,8 +317,42 @@ def _explicit_step_pallas(
     box = cfg.active_box
     dt, gamma, d = cfg.dt, cfg.gamma, p.dim
     C, nc = box.capacity, box.n_cells
+    halo = cfg.halo
+    if halo is not None:
+        # block-partitioned local strip (parallel/domain.py): kernels run on
+        # the local box; scatters complete owned planes via ppermute halo
+        # adds, gathers fill ghost planes first; phantom planes beyond the
+        # global grid are masked per-device via grid.valid_lo/valid_hi
+        from ..parallel import domain as _dom
+
+        if cfg.damage is not None:
+            raise ValueError(
+                "fracture drivers are not yet halo-sharded (Beps sums need "
+                "a particle halo); run damage problems on the replicated "
+                "grid (parallel/mesh.py) or a single device"
+            )
+        if cfg.rebin_mode != "none":
+            raise ValueError(
+                "halo-sharded pallas steps rebin via domain.migrate_local "
+                "after the step: use rebin_mode='none'"
+            )
+
+        def _xadd(nodesv):
+            return _dom.halo_exchange_add(nodesv, halo)
+
+        def _fill(nodesv):
+            return _dom.halo_fill(nodesv, halo)
+
+    else:
+        _xadd = _fill = lambda nodesv: nodesv
+    vkw = dict(valid_lo=grid.valid_lo, valid_hi=grid.valid_hi)
     local_mode = cfg.rebin_mode == "local" and traction is None
-    if local_mode:
+    if cfg.rebin_mode == "none":
+        # slot invariant restored externally (sharded migration)
+        margin = 0
+        lost = jnp.zeros((), jnp.int32)
+        local_mode = False
+    elif local_mode:
         # particles arrive on the slot invariant (binned to their cells by
         # to_slot_layout / the previous step's end-of-step local_rebin), so
         # the kernel window needs no drift margin; re-binning happens at the
@@ -361,8 +395,9 @@ def _explicit_step_pallas(
     fN = jnp.stack([pt.to_channel_leading(c, C, nc)[0] for c in chans])
     nodes1, lam_new, nnz = pt.fused_scatter(
         grid, box, cfg.lme_params, x_t, lam_t, act_t, fN, solve=True,
-        margin=margin,
+        margin=margin, **vkw,
     )
+    nodes1 = _xadd(nodes1)
     m_nodes = nodes1[:, 0]
     m_safe = jnp.maximum(m_nodes, cfg.mass_tol)[:, None]
     d_dis_nodes = nodes1[:, 1 : 1 + d] / m_safe
@@ -372,9 +407,10 @@ def _explicit_step_pallas(
         d_dis_nodes = jnp.where(grid.dirichlet_mask, grid.dirichlet_value, d_dis_nodes)
 
     # --- gather #1: smoothed Δu + displacement gradient (→ ΔF) ---
+    d_dis_nodes_f = _fill(d_dis_nodes)
     d_dis_smooth, grad_du = pt.fused_gather(
         grid, box, cfg.lme_params, x_t, lam_new, act_t,
-        gN=d_dis_nodes, g_grad=d_dis_nodes, margin=margin,
+        gN=d_dis_nodes_f, g_grad=d_dis_nodes_f, margin=margin, **vkw,
     )
     DF = grad_du + jnp.eye(d, dtype=grad_du.dtype)
     F_n1 = tn.bmm(DF, p.F)
@@ -436,8 +472,9 @@ def _explicit_step_pallas(
     dummy = pt.to_channel_leading(jnp.zeros_like(p.mass), C, nc)
     nodes2, _, _ = pt.fused_scatter(
         grid, box, cfg.lme_params, x_t, lam_new, act_t, dummy, G_t=G_t,
-        solve=False, margin=margin,
+        solve=False, margin=margin, **vkw,
     )
+    nodes2 = _xadd(nodes2)
     forces = nodes2[:, 1 : 1 + d]
     if traction_forces is not None:
         forces = forces + traction_forces
@@ -451,8 +488,8 @@ def _explicit_step_pallas(
 
     # --- gather #2: accelerations ---
     a_p, _ = pt.fused_gather(
-        grid, box, cfg.lme_params, x_t, lam_new, act_t, gN=accel_nodes,
-        margin=margin,
+        grid, box, cfg.lme_params, x_t, lam_new, act_t, gN=_fill(accel_nodes),
+        margin=margin, **vkw,
     )
     v_new = v_pred + gamma * dt * a_p
     x_new = p.x + d_dis_smooth

@@ -419,8 +419,26 @@ def _implicit_step_pallas(
     n_nodes = grid.n_nodes
     nm = newmark_parameters(cfg.beta, cfg.gamma, cfg.dt)
     C, nc = box.capacity, box.n_cells
+    halo = cfg.halo
+    if halo is not None:
+        # halo-sharded local strip: owned-complete scatters, ghost-filled
+        # gathers, psum'd Newton-CG dots (parallel/domain.py)
+        from ..parallel import domain as _dom
 
-    local_mode = cfg.rebin_mode == "local" and traction is None and not cfg.prebinned
+        def _xadd(nodesv):
+            return _dom.halo_exchange_add(nodesv, halo)
+
+        def _fill(nodesv):
+            return _dom.halo_fill(nodesv, halo)
+
+    else:
+        _xadd = _fill = lambda nodesv: nodesv
+    vkw = dict(valid_lo=grid.valid_lo, valid_hi=grid.valid_hi)
+
+    local_mode = (
+        cfg.rebin_mode == "local" and traction is None and not cfg.prebinned
+        and cfg.rebin_mode != "none"
+    )
     lost = jnp.zeros((), jnp.int32)
     if not local_mode and not cfg.prebinned:
         binning = windowed.bin_particles(grid, box, p.x, p.active)
@@ -450,8 +468,9 @@ def _implicit_step_pallas(
     fN = jnp.stack([pt.to_channel_leading(c, C, nc)[0] for c in chans])
     nodes1, lam_new, nnz = pt.fused_scatter(
         grid, box, cfg.lme_params, x_t, lam_t, act_t, fN, solve=True,
-        gnorm=True,
+        gnorm=True, **vkw,
     )
+    nodes1 = _xadd(nodes1)
     lam_f = lam_new  # frozen through the Newton loop
     m_nodes = nodes1[:, 0]
     m_safe = jnp.maximum(m_nodes, cfg.mass_tol)[:, None]
@@ -470,15 +489,17 @@ def _implicit_step_pallas(
 
     grad_gather = _linear_op(
         lambda nodes: pt.fused_gather(
-            grid, box, cfg.lme_params, x_t, lam_f, act_t, g_grad=nodes
+            grid, box, cfg.lme_params, x_t, lam_f, act_t, g_grad=_fill(nodes),
+            **vkw,
         )[1]
     )
     dummy1 = pt.to_channel_leading(jnp.zeros_like(p.mass), C, nc)
     g_scatter = _linear_op(
-        lambda G: pt.fused_scatter(
+        lambda G: _xadd(pt.fused_scatter(
             grid, box, cfg.lme_params, x_t, lam_f, act_t, dummy1,
             G_t=pt.to_channel_leading(G.reshape(-1, d * d), C, nc), solve=False,
-        )[0][:, 1 : 1 + d]
+            **vkw,
+        )[0])[:, 1 : 1 + d]
     )
 
     vel_const_nodes = (nm.alpha_5 - 1.0) * Un_dt + nm.alpha_6 * Un_dt2
@@ -534,6 +555,7 @@ def _implicit_step_pallas(
         cg_tol=cfg.cg_tol,
         cg_maxiter=cfg.cg_maxiter,
         linear=cfg.linear,
+        axis_name=halo.axis_name if halo is not None else None,
     )
     dU = jnp.where(free, res.x, dU_dirichlet)
 
@@ -571,7 +593,7 @@ def _implicit_step_pallas(
         [dU, dU_dt + (1.0 - a_blend) * Un_dt, dU_dt2], axis=1
     )
     gout, _ = pt.fused_gather(
-        grid, box, cfg.lme_params, x_t, lam_f, act_t, gN=gfields
+        grid, box, cfg.lme_params, x_t, lam_f, act_t, gN=_fill(gfields), **vkw,
     )
     dis_inc, dv, da = gout[:, 0:d], gout[:, d : 2 * d], gout[:, 2 * d : 3 * d]
 
@@ -597,6 +619,9 @@ def _implicit_step_pallas(
     )
     if local_mode:
         p_out, lost = windowed.local_rebin(p_out, grid, box)
+    if cfg.axis_name is not None:
+        nnz = jax.lax.psum(nnz, cfg.axis_name)
+        lost = jax.lax.psum(lost, cfg.axis_name)
     diag_out = dict(
         nnz=nnz,
         newton_iters=res.iters,

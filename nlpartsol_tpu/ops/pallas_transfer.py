@@ -97,10 +97,13 @@ class _Geom:
         self.params = params
 
 
-def _basis_terms(g: _Geom, x0, x1, lam0, lam1, act, cy):
+def _basis_terms(g: _Geom, x0, x1, lam0, lam1, act, cy, vlo=None, vhi=None):
     """Per-offset closures: rel components and validity for offset (o0, o1).
 
-    ``cy`` is the cell row per element (array broadcastable to x0.shape)."""
+    ``cy`` is the cell row per element (array broadcastable to x0.shape).
+    ``vlo``/``vhi`` (traced int32 scalars) bound the valid node planes along
+    axis 0 — halo strips mask phantom planes beyond the GLOBAL grid edge
+    per device (parallel/domain.py); defaults are the local grid bounds."""
     h = g.h
     c1_idx = jax.lax.broadcasted_iota(jnp.int32, x0.shape, 1).astype(jnp.float32)
     cyf = cy.astype(jnp.float32)
@@ -112,10 +115,12 @@ def _basis_terms(g: _Geom, x0, x1, lam0, lam1, act, cy):
         return x0 - n0pos, x1 - n1pos
 
     cyi = cy.astype(jnp.int32)
+    lo0 = 0 if vlo is None else vlo
+    hi0 = g.n0 - 1 if vhi is None else vhi
 
     def valid(o0, o1):
         i0 = g.o0 + o0 + cyi
-        in0 = (i0 >= 0) & (i0 <= g.n0 - 1)
+        in0 = (i0 >= lo0) & (i0 <= hi0)
         i1 = c1_idx + (g.o1 + o1)
         in1 = (i1 >= 0) & (i1 <= g.n1 - 1)
         return act & in0 & in1
@@ -165,6 +170,21 @@ def _slot_spec(g: _Geom, ch: int):
     return pl.BlockSpec(
         (1, ch, g.RC, g.c1p), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
+
+
+def _vb_spec():
+    return pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+
+def _valid_bounds(g: _Geom, valid_lo, valid_hi) -> jax.Array:
+    """(1, 2) int32 [vlo, vhi] SMEM input (traced per-device under
+    shard_map; static local bounds otherwise)."""
+    vlo = jnp.int32(0) if valid_lo is None else jnp.asarray(valid_lo, jnp.int32)
+    vhi = (
+        jnp.int32(g.n0 - 1) if valid_hi is None
+        else jnp.asarray(valid_hi, jnp.int32)
+    )
+    return jnp.stack([vlo, vhi]).reshape(1, 2)
 
 
 def _basis_passes(g: _Geom, rel, valid, lam0, lam1):
@@ -259,8 +279,8 @@ def _make_scatter_kernel(g: _Geom, cN: int, has_G: bool, solve: bool,
     cout = cN + (2 if has_G else 0) + (1 if gnorm else 0)
     need_dn = has_G or gnorm
 
-    def kernel(x_ref, lam_ref, act_ref, fN_ref, G_ref, out_ref, lam_out_ref,
-               cnt_ref):
+    def kernel(vb_ref, x_ref, lam_ref, act_ref, fN_ref, G_ref, out_ref,
+               lam_out_ref, cnt_ref):
         cy0 = pl.program_id(0) * g.R
         x0 = x_ref[0, 0]
         x1 = x_ref[0, 1]
@@ -268,7 +288,9 @@ def _make_scatter_kernel(g: _Geom, cN: int, has_G: bool, solve: bool,
         lam0 = lam_ref[0, 0]
         lam1 = lam_ref[0, 1]
         cy = cy0 + _row_iota(g)
-        rel, valid = _basis_terms(g, x0, x1, lam0, lam1, act, cy)
+        rel, valid = _basis_terms(
+            g, x0, x1, lam0, lam1, act, cy, vlo=vb_ref[0, 0], vhi=vb_ref[0, 1]
+        )
         sel = _row_sum_matrix(g)
 
         if solve:
@@ -388,7 +410,8 @@ def _make_scatter_kernel(g: _Geom, cN: int, has_G: bool, solve: bool,
     return kernel
 
 
-def _xla_basis(g: _Geom, grid, box, params, x_t, lam_t, act_t, solve):
+def _xla_basis(g: _Geom, grid, box, params, x_t, lam_t, act_t, solve,
+               valid_lo=None, valid_hi=None):
     """Slot-cell-centered widened-window LME basis in plain XLA — the exact
     semantics of the kernels, for non-TPU backends."""
     from . import sparse  # noqa: F401 (documented fallback dependency)
@@ -402,6 +425,10 @@ def _xla_basis(g: _Geom, grid, box, params, x_t, lam_t, act_t, solve):
     multi = cells[:, None, :] + jnp.asarray(offs)[None, :, :]
     dims = jnp.asarray(grid.dims)
     inb = jnp.all((multi >= 0) & (multi < dims), axis=-1)
+    if valid_lo is not None:
+        inb = inb & (multi[..., 0] >= valid_lo)
+    if valid_hi is not None:
+        inb = inb & (multi[..., 0] <= valid_hi)
     node_pos = multi.astype(x.dtype) * g.h + jnp.asarray(grid.origin, x.dtype)
     rel = x[:, None, :] - node_pos
     sq = jnp.sum(rel * rel, axis=-1)
@@ -428,10 +455,11 @@ def _xla_basis(g: _Geom, grid, box, params, x_t, lam_t, act_t, solve):
 
 
 def _scatter_xla(grid, box, params, x_t, lam_t, act_t, fN_t, G_t, solve, margin,
-                 gnorm=False):
+                 gnorm=False, valid_lo=None, valid_hi=None):
     g = _Geom(grid, box, params, margin)
     offs, N, dN, mask, lam = _xla_basis(
-        g, grid, box, params, x_t, lam_t, act_t, solve
+        g, grid, box, params, x_t, lam_t, act_t, solve,
+        valid_lo=valid_lo, valid_hi=valid_hi,
     )
     C, nc = box.capacity, box.n_cells
     cols = []
@@ -450,10 +478,12 @@ def _scatter_xla(grid, box, params, x_t, lam_t, act_t, fN_t, G_t, solve, margin,
     return nodes, to_channel_leading(lam, C, nc), nnz
 
 
-def _gather_xla(grid, box, params, x_t, lam_t, act_t, gN, g_grad, margin):
+def _gather_xla(grid, box, params, x_t, lam_t, act_t, gN, g_grad, margin,
+                valid_lo=None, valid_hi=None):
     g = _Geom(grid, box, params, margin)
     offs, N, dN, mask, _ = _xla_basis(
-        g, grid, box, params, x_t, lam_t, act_t, solve=False
+        g, grid, box, params, x_t, lam_t, act_t, solve=False,
+        valid_lo=valid_lo, valid_hi=valid_hi,
     )
     Nm = jnp.where(mask, N, 0.0)
     outN = windowed.g2p(gN, Nm, box, grid, offs) if gN is not None else None
@@ -482,6 +512,8 @@ def fused_scatter(
     solve: bool = True,
     margin: int = 0,
     gnorm: bool = False,
+    valid_lo=None,
+    valid_hi=None,
 ):
     """Fused LME+P2G.  Returns (nodes (n_nodes, cout), lam (d, C, nc));
     cout = cN (+d when G_t given, the Σ G·∇N vector appended; +1 when
@@ -495,11 +527,12 @@ def fused_scatter(
         return pt3.fused_scatter3(
             grid, box, params, x_t, lam_t, act_t, fN_t, G_t=G_t,
             solve=solve, margin=margin, gnorm=gnorm,
+            valid_lo=valid_lo, valid_hi=valid_hi,
         )
     if not _on_tpu() and not FORCE_INTERPRET:
         return _scatter_xla(
             grid, box, params, x_t, lam_t, act_t, fN_t, G_t, solve, margin,
-            gnorm,
+            gnorm, valid_lo=valid_lo, valid_hi=valid_hi,
         )
     g = _Geom(grid, box, params, margin)
     cN = fN_t.shape[0]
@@ -511,11 +544,13 @@ def fused_scatter(
     if not has_G:
         G_t = jnp.zeros((4, g.C, g.nc), dt)
 
+    vb = _valid_bounds(g, valid_lo, valid_hi)
     kernel = _make_scatter_kernel(g, cN, has_G, solve, gnorm)
     out, lam_new, cnt = pl.pallas_call(
         kernel,
         grid=(g.nprog,),
-        in_specs=[_slot_spec(g, 2), _slot_spec(g, 2), _slot_spec(g, 1),
+        in_specs=[_vb_spec(),
+                  _slot_spec(g, 2), _slot_spec(g, 2), _slot_spec(g, 1),
                   _slot_spec(g, cN), _slot_spec(g, 4)],
         out_specs=[
             pl.BlockSpec((1, g.R, g.K1 * cout, g.c1p2), lambda i: (i, 0, 0, 0),
@@ -529,7 +564,7 @@ def fused_scatter(
             jax.ShapeDtypeStruct((g.nprog, 8, 128), jnp.float32),
         ],
         interpret=not _on_tpu(),
-    )(_to_view(g, x_shift, 2), _to_view(g, lam_t, 2), _to_view(g, act_t, 1),
+    )(vb, _to_view(g, x_shift, 2), _to_view(g, lam_t, 2), _to_view(g, act_t, 1),
       _to_view(g, fN_t, cN), _to_view(g, G_t, 4))
 
     # XLA epilogue: K1 row-offset banks, each already o1-folded in-kernel.
@@ -570,7 +605,7 @@ def _make_gather_kernel(g: _Geom, cN: int, has_grad: bool, cg: int):
     w, K = g.w, g.K
     assert w <= 4, "window halfwidth > 4 needs a 3rd row block"
 
-    def kernel(x_ref, lam_ref, act_ref, rlo_ref, rhi_ref,
+    def kernel(vb_ref, x_ref, lam_ref, act_ref, rlo_ref, rhi_ref,
                outN_ref, outG_ref, rows_scr):
         cy0 = pl.program_id(0) * g.R
         x0 = x_ref[0, 0]
@@ -579,7 +614,9 @@ def _make_gather_kernel(g: _Geom, cN: int, has_grad: bool, cg: int):
         lam0 = lam_ref[0, 0]
         lam1 = lam_ref[0, 1]
         cy = cy0 + _row_iota(g)
-        rel, valid = _basis_terms(g, x0, x1, lam0, lam1, act, cy)
+        rel, valid = _basis_terms(
+            g, x0, x1, lam0, lam1, act, cy, vlo=vb_ref[0, 0], vhi=vb_ref[0, 1]
+        )
         rep = _row_rep_matrix(g)
         e_of, fmax, Z, _ = _basis_passes(g, rel, valid, lam0, lam1)
         Zs = jnp.maximum(Z, 1e-30)
@@ -642,6 +679,8 @@ def fused_gather(
     gN: Optional[jax.Array] = None,      # (n_nodes, cN)
     g_grad: Optional[jax.Array] = None,  # (n_nodes, 2)
     margin: int = 0,
+    valid_lo=None,
+    valid_hi=None,
 ):
     """Fused LME+G2P.  Returns (outN (Ns, cN) | None, grad (Ns, d, d) | None)
     where grad[s, i, j] = Σ_A g_grad[A, i]·∂N_A/∂x_j."""
@@ -651,10 +690,11 @@ def fused_gather(
         pt3.FORCE_INTERPRET = FORCE_INTERPRET
         return pt3.fused_gather3(
             grid, box, params, x_t, lam_t, act_t, gN=gN, g_grad=g_grad,
-            margin=margin,
+            margin=margin, valid_lo=valid_lo, valid_hi=valid_hi,
         )
     if not _on_tpu() and not FORCE_INTERPRET:
-        return _gather_xla(grid, box, params, x_t, lam_t, act_t, gN, g_grad, margin)
+        return _gather_xla(grid, box, params, x_t, lam_t, act_t, gN, g_grad,
+                           margin, valid_lo=valid_lo, valid_hi=valid_hi)
     g = _Geom(grid, box, params, margin)
     dt = x_t.dtype
     cN = 0 if gN is None else gN.shape[1]
@@ -689,11 +729,13 @@ def fused_gather(
             memory_space=pltpu.VMEM,
         )
 
+    vb = _valid_bounds(g, valid_lo, valid_hi)
     kernel = _make_gather_kernel(g, cN, has_grad, cg)
     outN, outG = pl.pallas_call(
         kernel,
         grid=(g.nprog,),
         in_specs=[
+            _vb_spec(),
             _slot_spec(g, 2),
             _slot_spec(g, 2),
             _slot_spec(g, 1),
@@ -709,7 +751,7 @@ def fused_gather(
             pltpu.VMEM((cg, 16, Wrow), dt),
         ],
         interpret=not _on_tpu(),
-    )(_to_view(g, x_shift, 2), _to_view(g, lam_t, 2), _to_view(g, act_t, 1),
+    )(vb, _to_view(g, x_shift, 2), _to_view(g, lam_t, 2), _to_view(g, act_t, 1),
       gpad, gpad)
 
     ns = g.C * g.nc

@@ -142,8 +142,10 @@ def _inv3_damped(j00, j01, j02, j11, j12, j22):
     return a00 * inv, a01 * inv, a02 * inv, a11 * inv, a12 * inv, a22 * inv
 
 
-def _terms3(g: _Geom3, x0, x1, x2, act, pz, cy):
-    """rel / valid closures over a window offset (static or traced)."""
+def _terms3(g: _Geom3, x0, x1, x2, act, pz, cy, vlo=None, vhi=None):
+    """rel / valid closures over a window offset (static or traced).
+    ``vlo``/``vhi`` bound valid node planes along axis 0 (halo strips mask
+    phantom planes beyond the global grid; parallel/domain.py)."""
     h = g.h
     lane = jax.lax.broadcasted_iota(jnp.int32, x0.shape, 1)
     lanef = lane.astype(jnp.float32)
@@ -156,13 +158,16 @@ def _terms3(g: _Geom3, x0, x1, x2, act, pz, cy):
         n2 = (lanef + _f(g.o2b) + _f(o2)) * h
         return x0 - n0, x1 - n1, x2 - n2
 
+    lo0 = 0 if vlo is None else vlo
+    hi0 = g.n0 - 1 if vhi is None else vhi
+
     def valid(o0, o1, o2):
         i0 = pz + g.o0b + o0
         i1 = cy + g.o1b + o1
         i2 = lane + g.o2b + o2
         return (
             act
-            & (i0 >= 0) & (i0 <= g.n0 - 1)
+            & (i0 >= lo0) & (i0 <= hi0)
             & (i1 >= 0) & (i1 <= g.n1 - 1)
             & (i2 >= 0) & (i2 <= g.n2 - 1)
         )
@@ -205,8 +210,8 @@ def _make_scatter_kernel3(g: _Geom3, cN: int, has_G: bool, solve: bool,
     cout = cN + (3 if has_G else 0) + (1 if gnorm else 0)
     need_dn = has_G or gnorm
 
-    def kernel(x_ref, lam_ref, act_ref, fN_ref, G_ref, out_ref, lam_out_ref,
-               cnt_ref):
+    def kernel(vb_ref, x_ref, lam_ref, act_ref, fN_ref, G_ref, out_ref,
+               lam_out_ref, cnt_ref):
         i = pl.program_id(0)
         pz = i // g.nprog1
         iy = i % g.nprog1
@@ -218,7 +223,8 @@ def _make_scatter_kernel3(g: _Geom3, cN: int, has_G: bool, solve: bool,
         lam1 = lam_ref[0, 1]
         lam2 = lam_ref[0, 2]
         cy = iy * g.R + _row_iota3(g)
-        rel, valid = _terms3(g, x0, x1, x2, act, pz, cy)
+        rel, valid = _terms3(g, x0, x1, x2, act, pz, cy,
+                             vlo=vb_ref[0, 0], vhi=vb_ref[0, 1])
         sel = _row_sum_matrix3(g)
         shape = x0.shape
 
@@ -368,7 +374,8 @@ def _make_scatter_kernel3(g: _Geom3, cN: int, has_G: bool, solve: bool,
     return kernel
 
 
-def _xla_basis3(g: _Geom3, grid, box, params, x_t, lam_t, act_t, solve):
+def _xla_basis3(g: _Geom3, grid, box, params, x_t, lam_t, act_t, solve,
+                valid_lo=None, valid_hi=None):
     """Widened-window 3D LME basis in plain XLA (non-TPU semantics oracle)."""
     from ..shapefun.window import window_offsets
     from . import tensor as tn
@@ -381,6 +388,10 @@ def _xla_basis3(g: _Geom3, grid, box, params, x_t, lam_t, act_t, solve):
     multi = cells[:, None, :] + jnp.asarray(offs)[None, :, :]
     dims = jnp.asarray(grid.dims)
     inb = jnp.all((multi >= 0) & (multi < dims), axis=-1)
+    if valid_lo is not None:
+        inb = inb & (multi[..., 0] >= valid_lo)
+    if valid_hi is not None:
+        inb = inb & (multi[..., 0] <= valid_hi)
     node_pos = multi.astype(x.dtype) * g.h + jnp.asarray(grid.origin, x.dtype)
     rel = x[:, None, :] - node_pos
     sq = jnp.sum(rel * rel, axis=-1)
@@ -404,10 +415,11 @@ def _xla_basis3(g: _Geom3, grid, box, params, x_t, lam_t, act_t, solve):
 
 
 def _scatter_xla3(grid, box, params, x_t, lam_t, act_t, fN_t, G_t, solve, margin,
-                  gnorm=False):
+                  gnorm=False, valid_lo=None, valid_hi=None):
     g = _Geom3(grid, box, params, margin)
     offs, N, dN, mask, lam = _xla_basis3(
-        g, grid, box, params, x_t, lam_t, act_t, solve
+        g, grid, box, params, x_t, lam_t, act_t, solve,
+        valid_lo=valid_lo, valid_hi=valid_hi,
     )
     C, nc = box.capacity, box.n_cells
     cols = []
@@ -426,10 +438,12 @@ def _scatter_xla3(grid, box, params, x_t, lam_t, act_t, fN_t, G_t, solve, margin
     return nodes, to_channel_leading(lam, C, nc), nnz
 
 
-def _gather_xla3(grid, box, params, x_t, lam_t, act_t, gN, g_grad, margin):
+def _gather_xla3(grid, box, params, x_t, lam_t, act_t, gN, g_grad, margin,
+                 valid_lo=None, valid_hi=None):
     g = _Geom3(grid, box, params, margin)
     offs, N, dN, mask, _ = _xla_basis3(
-        g, grid, box, params, x_t, lam_t, act_t, solve=False
+        g, grid, box, params, x_t, lam_t, act_t, solve=False,
+        valid_lo=valid_lo, valid_hi=valid_hi,
     )
     Nm = jnp.where(mask, N, 0.0)
     outN = windowed.g2p(gN, Nm, box, grid, offs) if gN is not None else None
@@ -462,12 +476,15 @@ def fused_scatter3(
     solve: bool = True,
     margin: int = 0,
     gnorm: bool = False,
+    valid_lo=None,
+    valid_hi=None,
 ):
     """Fused 3D LME+P2G.  Returns (nodes (n_nodes, cout), lam (3, C, nc),
     nnz); cout = cN (+3 when G_t given; +1 when gnorm)."""
     if not _on_tpu() and not FORCE_INTERPRET:
         return _scatter_xla3(
-            grid, box, params, x_t, lam_t, act_t, fN_t, G_t, solve, margin, gnorm
+            grid, box, params, x_t, lam_t, act_t, fN_t, G_t, solve, margin,
+            gnorm, valid_lo=valid_lo, valid_hi=valid_hi,
         )
     g = _Geom3(grid, box, params, margin)
     cN = fN_t.shape[0]
@@ -479,12 +496,19 @@ def fused_scatter3(
     if not has_G:
         G_t = jnp.zeros((9, g.C, g.nc), dt)
 
+    from .pallas_transfer import _valid_bounds, _vb_spec
+
+    class _GB:  # adapter: _valid_bounds only reads n0
+        n0 = g.n0
+
+    vb = _valid_bounds(_GB, valid_lo, valid_hi)
     kernel = _make_scatter_kernel3(g, cN, has_G, solve, gnorm)
     nb = g.K1 * g.K1 * cout
     out, lam_new, cnt = pl.pallas_call(
         kernel,
         grid=(g.nprog,),
-        in_specs=[_slot_spec3(g, 3), _slot_spec3(g, 3), _slot_spec3(g, 1),
+        in_specs=[_vb_spec(),
+                  _slot_spec3(g, 3), _slot_spec3(g, 3), _slot_spec3(g, 1),
                   _slot_spec3(g, cN), _slot_spec3(g, 9)],
         out_specs=[
             pl.BlockSpec((1, g.R, nb, g.c2p2), lambda i: (i, 0, 0, 0),
@@ -498,7 +522,7 @@ def fused_scatter3(
             jax.ShapeDtypeStruct((g.nprog, 8, 128), jnp.float32),
         ],
         interpret=not _on_tpu(),
-    )(_to_view3(g, x_shift, 3), _to_view3(g, lam_t, 3), _to_view3(g, act_t, 1),
+    )(vb, _to_view3(g, x_shift, 3), _to_view3(g, lam_t, 3), _to_view3(g, act_t, 1),
       _to_view3(g, fN_t, cN), _to_view3(g, G_t, 9))
 
     # XLA epilogue: K1² (o0, o1) banks; lane axis already o2-folded.
@@ -541,7 +565,7 @@ def _make_gather_kernel3(g: _Geom3, cN: int, has_grad: bool, cg: int):
     w, K1 = g.w, g.K1
     assert w <= 4, "window halfwidth > 4 needs more plane/row blocks"
 
-    def kernel(x_ref, lam_ref, act_ref,
+    def kernel(vb_ref, x_ref, lam_ref, act_ref,
                p0r0_ref, p0r1_ref, p1r0_ref, p1r1_ref, p2r0_ref, p2r1_ref,
                outN_ref, outG_ref, rows_scr):
         i = pl.program_id(0)
@@ -555,7 +579,8 @@ def _make_gather_kernel3(g: _Geom3, cN: int, has_grad: bool, cg: int):
         lam1 = lam_ref[0, 1]
         lam2 = lam_ref[0, 2]
         cy = iy * g.R + _row_iota3(g)
-        rel, valid = _terms3(g, x0, x1, x2, act, pz, cy)
+        rel, valid = _terms3(g, x0, x1, x2, act, pz, cy,
+                             vlo=vb_ref[0, 0], vhi=vb_ref[0, 1])
         rep = _row_rep_matrix3(g)
         shape = x0.shape
         f_of, neg = _f_of(g, rel, valid, lam0, lam1, lam2)
@@ -657,11 +682,14 @@ def fused_gather3(
     gN: Optional[jax.Array] = None,      # (n_nodes, cN)
     g_grad: Optional[jax.Array] = None,  # (n_nodes, 3)
     margin: int = 0,
+    valid_lo=None,
+    valid_hi=None,
 ):
     """Fused 3D LME+G2P.  Returns (outN (Ns, cN) | None,
     grad (Ns, 3, 3) | None)."""
     if not _on_tpu() and not FORCE_INTERPRET:
-        return _gather_xla3(grid, box, params, x_t, lam_t, act_t, gN, g_grad, margin)
+        return _gather_xla3(grid, box, params, x_t, lam_t, act_t, gN, g_grad,
+                            margin, valid_lo=valid_lo, valid_hi=valid_hi)
     g = _Geom3(grid, box, params, margin)
     dt = x_t.dtype
     cN = 0 if gN is None else gN.shape[1]
@@ -704,11 +732,18 @@ def fused_gather3(
             memory_space=pltpu.VMEM,
         )
 
+    from .pallas_transfer import _valid_bounds, _vb_spec
+
+    class _GB:
+        n0 = g.n0
+
+    vb = _valid_bounds(_GB, valid_lo, valid_hi)
     kernel = _make_gather_kernel3(g, cN, has_grad, cg)
     outN, outG = pl.pallas_call(
         kernel,
         grid=(g.nprog,),
         in_specs=[
+            _vb_spec(),
             _slot_spec3(g, 3), _slot_spec3(g, 3), _slot_spec3(g, 1),
             blk_spec(0, 0), blk_spec(0, 1),
             blk_spec(1, 0), blk_spec(1, 1),
@@ -723,7 +758,7 @@ def fused_gather3(
             pltpu.VMEM((cg, 24, 16, W), dt),
         ],
         interpret=not _on_tpu(),
-    )(_to_view3(g, x_shift, 3), _to_view3(g, lam_t, 3), _to_view3(g, act_t, 1),
+    )(vb, _to_view3(g, x_shift, 3), _to_view3(g, lam_t, 3), _to_view3(g, act_t, 1),
       gpad, gpad, gpad, gpad, gpad, gpad)
 
     ns = g.C * g.nc

@@ -238,9 +238,14 @@ def _shift_cells(arr: jax.Array, cdims, d, cell_axes) -> jax.Array:
     return out
 
 
-def local_rebin(p: Particles, grid: Grid, box: ActiveBox):
+def local_rebin(p: Particles, grid: Grid, box: ActiveBox, in_capacity: int = None):
     """Slot-layout-native re-binning for particles that drift ≤ 1 cell since
     the last binning (guaranteed per explicit step by CFL ≤ 1).
+
+    ``in_capacity`` (≥ box.capacity; default box.capacity) lets the input
+    carry extra capacity rows — the halo-sharded migration merges
+    neighbour-seam buffers as rows [C, in_capacity) before compacting back
+    to C (parallel/domain.migrate_local), keeping migration sort-free.
 
     Replaces the global argsort + wide row-gather of
     :func:`bin_particles`/:func:`permute_to_slots` — profiled at 62 ms for
@@ -257,12 +262,14 @@ def local_rebin(p: Particles, grid: Grid, box: ActiveBox):
     (their slots are zeroed: mass 0, active False).
     """
     C = box.capacity
+    Cin = C if in_capacity is None else int(in_capacity)
+    assert Cin >= C
     cdims = box.cdims
     nd = len(cdims)
     nc = box.n_cells
     big, specs, treedef = flatten_soa(p)
-    x_c = p.x.reshape((C,) + cdims + (p.dim,))
-    act_c = p.active.reshape((C,) + cdims)
+    x_c = p.x.reshape((Cin,) + cdims + (p.dim,))
+    act_c = p.active.reshape((Cin,) + cdims)
 
     cell_new = (
         jnp.floor(
@@ -287,7 +294,7 @@ def local_rebin(p: Particles, grid: Grid, box: ActiveBox):
     # destination rank: candidates for a target cell are ordered by
     # (offset group, capacity slot); rank = running count per target cell.
     cum = jnp.zeros(cdims, jnp.int32)
-    rank = jnp.zeros((C,) + cdims, jnp.int32)
+    rank = jnp.zeros((Cin,) + cdims, jnp.int32)
     for d in itertools.product((0, -1, 1), repeat=nd):
         sel = act_eff & jnp.all(delta == jnp.asarray(d, jnp.int32), axis=-1)
         mi = sel.astype(jnp.int32)
@@ -301,7 +308,9 @@ def local_rebin(p: Particles, grid: Grid, box: ActiveBox):
     keep = act_eff & (rank < C)
     dst = jnp.where(keep, rank * nc + tcell_flat, C * nc).reshape(-1)
 
-    out = jnp.zeros_like(big).at[dst].set(big.reshape(C * nc, -1), mode="drop")
+    out = jnp.zeros((C * nc, big.shape[1]), big.dtype).at[dst].set(
+        big.reshape(Cin * nc, -1), mode="drop"
+    )
     p_new = unflatten_soa(out, specs, treedef)
     placed = jnp.sum(keep.astype(jnp.int32))
     lost = jnp.sum(act_c.astype(jnp.int32)) - placed

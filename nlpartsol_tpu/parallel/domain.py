@@ -413,6 +413,92 @@ def migrate_and_rebin(
     return p_new, lost
 
 
+def migrate_local(
+    p: Particles,
+    spec: HaloSpec,
+    local_grid: Grid,
+    local_box: windowed.ActiveBox,
+):
+    """Sort-free seam migration + re-bin (replaces :func:`migrate_and_rebin`'s
+    per-step ``argsort`` — the cost PERF.md measured at 62 ms single-chip and
+    VERDICT r2 flagged as dominating the sharded step).
+
+    Under CFL ≤ 1 a particle drifts ≤ 1 cell per step, so the only particles
+    that change owner live in the first/last owned cell plane.  Those plane
+    slot buffers (capacity-padded by construction — no compaction, no sort)
+    ship to the adjacent shard via ``ppermute``; the merged set (own slots +
+    received buffers as extra capacity rows on the seam planes) is then
+    compacted back to capacity C by the counting re-bin of
+    :func:`~..ops.windowed.local_rebin` at input capacity 2C.
+
+    Returns (particles, lost): lost counts particles that left the global
+    box (edge shards), drifted > 1 cell, or overflowed a cell's capacity.
+    """
+    S, ax = spec.n_shards, spec.axis_name
+    C = local_box.capacity
+    cdims = local_box.cdims
+    bc = cdims[0]
+    nc = local_box.n_cells
+    rest = nc // bc
+    h = local_grid.spacing
+    if S == 1:
+        return windowed.local_rebin(p, local_grid, local_box)
+
+    big, specs, treedef = windowed.flatten_soa(p)  # (C·nc, CH)
+    CH = big.shape[1]
+    cols = _leaf_columns(p)
+    xcol, acol = cols["x"], cols["active"]
+    bigc = big.reshape(C, bc, rest, CH)
+    c0new = (
+        jnp.floor(p.x[:, 0] / h).astype(jnp.int32).reshape(C, bc, rest)
+        - local_box.offset[0]
+    )
+    act = p.active.reshape(C, bc, rest)
+
+    godown = act[:, 0] & (c0new[:, 0] < 0)  # (C, rest)
+    goup = act[:, -1] & (c0new[:, -1] >= bc)
+    shift = spec.bc * h
+    dbuf = jnp.where(godown[..., None], bigc[:, 0], 0.0)
+    dbuf = dbuf.at[..., xcol].add(jnp.where(godown, shift, 0.0))
+    ubuf = jnp.where(goup[..., None], bigc[:, -1], 0.0)
+    ubuf = ubuf.at[..., xcol].add(jnp.where(goup, -shift, 0.0))
+    recv_from_up = jax.lax.ppermute(dbuf, ax, [(s, s - 1) for s in range(1, S)])
+    recv_from_dn = jax.lax.ppermute(ubuf, ax, [(s, s + 1) for s in range(S - 1)])
+
+    # deactivate shipped rows locally (zero the whole row, as pack() does)
+    keep0 = ~godown
+    keepl = ~goup
+    bigc = bigc.at[:, 0].set(jnp.where(keep0[..., None], bigc[:, 0], 0.0))
+    bigc = bigc.at[:, -1].set(jnp.where(keepl[..., None], bigc[:, -1], 0.0))
+
+    # extra capacity rows: received buffers live on the seam planes.  With
+    # bc ≥ 2 the two seams are distinct planes and share one C-block; a
+    # single-plane slab (bc = 1) gets one block per direction so rows never
+    # collide.
+    if bc >= 2:
+        extra = jnp.zeros((C, bc, rest, CH), big.dtype)
+        extra = extra.at[:, bc - 1].set(recv_from_up)
+        extra = extra.at[:, 0].set(recv_from_dn)
+        blocks = [bigc, extra]
+    else:
+        eu = jnp.zeros((C, bc, rest, CH), big.dtype).at[:, 0].set(recv_from_up)
+        ed = jnp.zeros((C, bc, rest, CH), big.dtype).at[:, 0].set(recv_from_dn)
+        blocks = [bigc, eu, ed]
+    ext = jnp.concatenate(blocks, axis=0)
+    Cin = C * len(blocks)
+
+    p_ext = windowed.unflatten_soa(ext.reshape(Cin * nc, CH), specs, treedef)
+    p_new, lost_rebin = windowed.local_rebin(
+        p_ext, local_grid, local_box, in_capacity=Cin
+    )
+
+    dev = jax.lax.axis_index(ax)
+    lost_edge = jnp.where(
+        dev == 0, jnp.sum(godown.astype(jnp.int32)), 0
+    ) + jnp.where(dev == S - 1, jnp.sum(goup.astype(jnp.int32)), 0)
+    return p_new, lost_rebin + lost_edge
+
+
 # ---------------------------------------------------------------------------
 # sharded drivers
 # ---------------------------------------------------------------------------
@@ -425,13 +511,23 @@ def make_mesh(n_devices: int = None, devices=None, axis_name: str = GRID_AXIS) -
 
 
 def _localize_cfg(cfg, decomp: Decomp):
-    return cfg.replace(
-        transfer="windowed",
+    """Step config for the local strip: keeps the configured transfer engine
+    ('pallas' fused kernels now run under halo sharding — one path for perf
+    AND scale; anything else falls back to 'windowed')."""
+    transfer = getattr(cfg, "transfer", "windowed")
+    if transfer not in ("windowed", "pallas"):
+        transfer = "windowed"
+    kw = dict(
+        transfer=transfer,
         active_box=decomp.local_box,
         halo=decomp.spec,
         axis_name=decomp.spec.axis_name,
         prebinned=True,
     )
+    if transfer == "pallas":
+        # the sharded drivers re-bin via migrate_local after each step
+        kw["rebin_mode"] = "none"
+    return cfg.replace(**kw)
 
 
 def sharded_explicit_run(mesh: Mesh, decomp: Decomp, cfg, n_steps: int):
@@ -458,9 +554,7 @@ def sharded_explicit_run(mesh: Mesh, decomp: Decomp, cfg, n_steps: int):
         def body_fn(carry, _):
             pp, lost_acc = carry
             pp, diag = explicit_step(pp, grid, mats, cfgl, body)
-            pp, lost = migrate_and_rebin(
-                pp, spec, grid, decomp.local_box, decomp.mig_capacity
-            )
+            pp, lost = migrate_local(pp, spec, grid, decomp.local_box)
             lost = jax.lax.psum(lost, spec.axis_name)
             return (pp, lost_acc + lost), (
                 diag["kinetic_energy"],
@@ -502,9 +596,7 @@ def sharded_implicit_run(mesh: Mesh, decomp: Decomp, cfg, n_steps: int):
         def body_fn(carry, _):
             pp, lost_acc = carry
             pp, diag = implicit_step(pp, grid, mats, cfgl, body)
-            pp, lost = migrate_and_rebin(
-                pp, spec, grid, decomp.local_box, decomp.mig_capacity
-            )
+            pp, lost = migrate_local(pp, spec, grid, decomp.local_box)
             lost = jax.lax.psum(lost, spec.axis_name)
             return (pp, lost_acc + lost), (
                 diag["newton_iters"],

@@ -129,7 +129,8 @@ def _single_device_run(grid, p, mats, cfg, n_steps):
     return run(p)
 
 
-def test_halo_explicit_parity_with_migration():
+@pytest.mark.parametrize("sharded_transfer", ["windowed", "pallas"])
+def test_halo_explicit_parity_with_migration(sharded_transfer):
     grid, p, mats, h, cel = _problem(vx=0.5)
     box = windowed.full_box(grid, capacity=2)
     lp = lme.LMEParams(gamma=3.0)
@@ -145,6 +146,9 @@ def test_halo_explicit_parity_with_migration():
     )
     p_ref = _single_device_run(grid, p, mats, cfg, n_steps)
 
+    # the sharded run may use the fused-pallas engine (CPU: its XLA-fallback
+    # semantics twin) — one path for perf AND scale (VERDICT r2 #1)
+    cfg = cfg.replace(transfer=sharded_transfer)
     offs = lme.offsets_for(2, lp)
     dec = domain.decompose(grid, box, S, offs)
     mesh = domain.make_mesh(S)
@@ -208,7 +212,8 @@ def test_migration_changes_owner():
     assert moved > 0, "no particle changed owner - migration untested"
 
 
-def test_halo_implicit_parity():
+@pytest.mark.parametrize("sharded_transfer", ["windowed", "pallas"])
+def test_halo_implicit_parity(sharded_transfer):
     grid, p, mats, h, cel = _problem(vx=0.2)
     box = windowed.full_box(grid, capacity=2)
     lp = lme.LMEParams(gamma=3.0)
@@ -225,6 +230,7 @@ def test_halo_implicit_parity():
     )
     p_ref = _single_device_run(grid, p, mats, cfg, n_steps)
 
+    cfg = cfg.replace(transfer=sharded_transfer)
     offs = lme.offsets_for(2, lp)
     dec = domain.decompose(grid, box, S, offs)
     mesh = domain.make_mesh(S)
