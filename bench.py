@@ -96,8 +96,11 @@ def main():
         kinds=(M.NEO_HOOKEAN,),
         transfer=transfer,
         active_box=box,
-        # pallas default: per-step local rebin (neighbour compaction — no
-        # argsort/gather; CFL 0.25 ⇒ drift ≤ 1 cell per step as required)
+        # local (sort-free) rebin amortised over 4 steps: margin-1 kernels
+        # tolerate the ≤ 1 cell of drift 4 steps at CFL 0.25 can produce;
+        # the re-bin permute/layout pass was the profiled top step cost
+        rebin_mode="local",
+        rebin_every=int(os.environ.get("BENCH_REBIN_EVERY", "4")),
     )
     body = jnp.zeros((2,), jnp.float32)
 

@@ -354,10 +354,14 @@ def _explicit_step_pallas(
         local_mode = False
     elif local_mode:
         # particles arrive on the slot invariant (binned to their cells by
-        # to_slot_layout / the previous step's end-of-step local_rebin), so
-        # the kernel window needs no drift margin; re-binning happens at the
-        # END of the step via neighbour compaction (windowed.local_rebin)
-        margin = 0
+        # to_slot_layout / the last end-of-step local_rebin).  With
+        # rebin_every == 1 the kernel window needs no drift margin and the
+        # neighbour compaction (windowed.local_rebin) runs every step; with
+        # rebin_every = k > 1 a 1-cell margin widens the window and the
+        # compaction fires only on rebin steps (k·CFL ≤ 1 keeps drift ≤ 1
+        # cell between firings) — amortising the re-bin's permute/layout
+        # cost, the profiled top cost of the fused step (PERF.md round 3).
+        margin = 0 if cfg.rebin_every == 1 else 1
         lost = jnp.zeros((), jnp.int32)
     elif cfg.rebin_every > 1 and rebin is not None:
         margin = 1
@@ -520,8 +524,18 @@ def _explicit_step_pallas(
     ke = 0.5 * jnp.sum(p.mass[:, None] * v_new * v_new, where=act[:, None])
     se = jnp.sum(cs.W * p.vol0, where=act)
     if local_mode:
-        # restore the slot invariant for the next step (no sort, no gather)
-        p_out, lost = windowed.local_rebin(p_out, grid, box)
+        # restore the slot invariant (no sort, no gather); with
+        # rebin_every = k > 1 only every k-th step pays the re-bin (the
+        # margin-widened kernels tolerate ≤ 1 cell of drift in between)
+        if cfg.rebin_every > 1 and rebin is not None:
+            p_out, lost = jax.lax.cond(
+                rebin,
+                lambda q: windowed.local_rebin(q, grid, box),
+                lambda q: (q, jnp.zeros((), jnp.int32)),
+                p_out,
+            )
+        else:
+            p_out, lost = windowed.local_rebin(p_out, grid, box)
     if cfg.axis_name is not None:
         nnz = jax.lax.psum(nnz, cfg.axis_name)
         ke = jax.lax.psum(ke, cfg.axis_name)

@@ -70,7 +70,13 @@ class _Geom:
     R = 8
 
     def __init__(self, grid: Grid, box: windowed.ActiveBox, params: lme_mod.LMEParams,
-                 margin: int = 0):
+                 margin: int = 0, rows: int = None):
+        # rows-per-program override: the margin-widened scatter kernel's
+        # K1-banked output grows ~(K1/7)x — 4 rows keeps it inside the 16 MB
+        # scoped-VMEM budget (the gather kernel's row staging is R=8-tied
+        # and has no banked output, so it stays at 8)
+        if rows is not None:
+            self.R = rows
         assert grid.dim == 2, "pallas transfer is 2D; windowed engine covers 3D"
         self.h = grid.spacing
         self.beta = lme_mod.beta_of(params, grid.spacing)
@@ -534,7 +540,7 @@ def fused_scatter(
             grid, box, params, x_t, lam_t, act_t, fN_t, G_t, solve, margin,
             gnorm, valid_lo=valid_lo, valid_hi=valid_hi,
         )
-    g = _Geom(grid, box, params, margin)
+    g = _Geom(grid, box, params, margin, rows=8 if margin == 0 else 4)
     cN = fN_t.shape[0]
     has_G = G_t is not None
     cout = cN + (2 if has_G else 0) + (1 if gnorm else 0)

@@ -239,21 +239,25 @@ def decompose(
 # ---------------------------------------------------------------------------
 
 
-def shard_grid(grid: Grid, decomp: Decomp) -> Grid:
+def shard_grid(grid: Grid, decomp: Decomp, shards=None) -> Grid:
     """Local-strip Grid pytree, stacked over shards on the leading axis
     (shard with ``P(axis_name)``): Dirichlet/active arrays sliced into the
     per-device extended strips (phantom planes padded inert), plus the
-    per-device plane-validity scalars."""
+    per-device plane-validity scalars.  ``shards`` restricts to a subset of
+    shard indices (multi-host: each process builds only the strips of its
+    addressable devices, parallel/multihost.py)."""
     spec = decomp.spec
     dims = grid.dims
     n0 = dims[0]
+    if shards is None:
+        shards = range(spec.n_shards)
 
     def strips(arr, fill):
         a = np.asarray(arr)
         trail = a.shape[1:]
         full = a.reshape(dims + trail)
         segs = []
-        for s in range(spec.n_shards):
+        for s in shards:
             base = decomp.base_plane(s)
             seg = np.full((spec.ln,) + full.shape[1:], fill, a.dtype)
             lo, hi = max(0, base), min(n0, base + spec.ln)
@@ -266,10 +270,10 @@ def shard_grid(grid: Grid, decomp: Decomp) -> Grid:
     dv = None if grid.dirichlet_value is None else strips(grid.dirichlet_value, 0.0)
     act = None if grid.active is None else strips(grid.active, False)
     vlo = jnp.asarray(
-        [max(0, -decomp.base_plane(s)) for s in range(spec.n_shards)], jnp.int32
+        [max(0, -decomp.base_plane(s)) for s in shards], jnp.int32
     )
     vhi = jnp.asarray(
-        [min(spec.ln - 1, n0 - 1 - decomp.base_plane(s)) for s in range(spec.n_shards)],
+        [min(spec.ln - 1, n0 - 1 - decomp.base_plane(s)) for s in shards],
         jnp.int32,
     )
     return decomp.local_grid.replace(
@@ -281,15 +285,20 @@ def shard_grid(grid: Grid, decomp: Decomp) -> Grid:
     )
 
 
-def shard_particles(p: Particles, decomp: Decomp) -> Particles:
+def shard_particles(p: Particles, decomp: Decomp, shards=None) -> Particles:
     """Bin particles to the shard owning their cell, shift to device frames,
     and stack the per-device slot layouts on the leading axis (shard with
     ``P(axis_name)``).  Raises if any active particle fits no shard (outside
-    the box or over capacity)."""
+    the box or over capacity).  ``shards`` restricts to a subset of shard
+    indices (multi-host; the fit-check is then skipped — other processes own
+    the rest)."""
     spec = decomp.spec
+    check = shards is None
+    if shards is None:
+        shards = range(spec.n_shards)
     parts = []
     kept = 0
-    for s in range(spec.n_shards):
+    for s in shards:
         shift = jnp.asarray(decomp.shift(s), p.x.dtype)
         ps = p.replace(x=p.x - shift)
         binning = windowed.bin_particles(
@@ -299,7 +308,7 @@ def shard_particles(p: Particles, decomp: Decomp) -> Particles:
         kept += int(jnp.sum(loc.active))
         parts.append(loc)
     n_active = int(jnp.sum(p.active))
-    if kept != n_active:
+    if check and kept != n_active:
         raise ValueError(
             f"shard_particles: {n_active - kept} active particles fit no "
             f"shard (outside the active box, or a cell overflowed capacity "

@@ -1,0 +1,123 @@
+"""Multi-host backend: process-spanning meshes for the halo-sharded grid.
+
+SURVEY.md §5.8: the reference has no distributed backend at all (PETSc is
+compiled in but every Mat/Vec is sequential, `MatCreateSeqAIJ(PETSC_COMM_
+SELF, ...)` U-Newmark-beta.c:288; the only MPI symbol is a PetscPrintf).
+This module is the green-field replacement: ``jax.distributed`` process
+groups + a global ``jax.sharding.Mesh`` whose 1-D grid axis spans every
+device of every process, with the decomposition of parallel/domain.py
+unchanged — shard s of the grid strip lives on global device s, strips of
+one process are contiguous along the axis (ICI-adjacent within a slice;
+process boundaries ride DCN).
+
+Usage (one call per process, before any other jax use)::
+
+    from nlpartsol_tpu.parallel import domain, multihost
+    multihost.initialize("host0:1234", num_processes=NP, process_id=me)
+    mesh = multihost.global_mesh()
+    dec = domain.decompose(grid, box, mesh.size, offsets)
+    ps  = multihost.shard_particles_global(p, dec, mesh)      # local build
+    gs  = multihost.shard_grid_global(grid, dec, mesh)
+    run = jax.jit(domain.sharded_explicit_run(mesh, dec, cfg, n_steps))
+    p_out, diag = run(ps, gs, mats, body)                     # SPMD
+    p_all = multihost.gather_particles(p_out)                  # numpy, all hosts
+
+Tested 2-process × 4-virtual-CPU-device in tests/test_multihost.py (the
+same code runs unchanged on real multi-host TPU slices).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import domain
+from ..types import Grid, Particles
+
+
+def initialize(
+    coordinator_address: str,
+    num_processes: int,
+    process_id: int,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> None:
+    """Join the process group (jax.distributed).  On TPU pods the three
+    arguments are auto-detected and may be None; on CPU/GPU clusters pass
+    them explicitly."""
+    jax.distributed.initialize(
+        coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+
+
+def global_mesh(axis_name: str = domain.GRID_AXIS) -> Mesh:
+    """1-D mesh over every device of every process, process-major order:
+    strips of one process are contiguous along the sharded axis, so
+    intra-process halo ppermutes stay on ICI and only the one seam per
+    process boundary crosses DCN."""
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    return Mesh(np.array(devs), (axis_name,))
+
+
+def my_shard_ids(mesh: Mesh) -> list:
+    """Global shard indices whose device is addressable by this process."""
+    devs = list(mesh.devices.reshape(-1))
+    pi = jax.process_index()
+    return [i for i, d in enumerate(devs) if d.process_index == pi]
+
+
+def _from_local(mesh: Mesh, leaf, n_local: int, n_global: int):
+    sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+    arr = np.asarray(leaf)
+    rows = arr.shape[0] // n_local * n_global
+    return jax.make_array_from_process_local_data(
+        sh, arr, global_shape=(rows,) + arr.shape[1:]
+    )
+
+
+def shard_particles_global(p: Particles, dec: domain.Decomp, mesh: Mesh) -> Particles:
+    """Each process builds ONLY its own shards' slot layouts host-side
+    (domain.shard_particles(shards=...)) and assembles the global sharded
+    pytree — no host ever materialises the full stacked state."""
+    ids = my_shard_ids(mesh)
+    local = domain.shard_particles(p, dec, shards=ids)
+    S = dec.spec.n_shards
+    return jax.tree_util.tree_map(
+        lambda leaf: _from_local(mesh, leaf, len(ids), S), local
+    )
+
+
+def shard_grid_global(grid: Grid, dec: domain.Decomp, mesh: Mesh) -> Grid:
+    ids = my_shard_ids(mesh)
+    local = domain.shard_grid(grid, dec, shards=ids)
+    S = dec.spec.n_shards
+
+    def mk(leaf):
+        if leaf is None:
+            return None
+        return _from_local(mesh, leaf, len(ids), S)
+
+    return local.replace(
+        dirichlet_mask=mk(local.dirichlet_mask),
+        dirichlet_value=mk(local.dirichlet_value),
+        active=mk(local.active),
+        valid_lo=mk(local.valid_lo),
+        valid_hi=mk(local.valid_hi),
+    )
+
+
+def gather_particles(p_stacked: Particles) -> Particles:
+    """Replicate the sharded particle state to every host as numpy
+    (I/O/diagnostics; O(global size) per host — use per-shard access via
+    ``addressable_shards`` for large runs)."""
+    from jax.experimental import multihost_utils
+
+    return jax.tree_util.tree_map(
+        lambda a: np.asarray(multihost_utils.process_allgather(a, tiled=True)),
+        p_stacked,
+    )

@@ -52,6 +52,10 @@ def build_problem3(n_side=96, ppc=1):
 
 def main():
     import jax
+
+    os.makedirs("/root/jaxcache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from nlpartsol_tpu.formulations.explicit import (

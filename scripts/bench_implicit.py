@@ -20,6 +20,10 @@ import numpy as np
 
 def main():
     import jax
+
+    os.makedirs("/root/jaxcache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from bench import build_problem

@@ -50,13 +50,16 @@ def main():
         kinds=(M.NEO_HOOKEAN,),
         transfer=os.environ.get("BENCH_TRANSFER", "pallas"),
         active_box=box,
+        rebin_mode="local",
+        rebin_every=int(os.environ.get("BENCH_REBIN_EVERY", "4")),
     )
     body = jnp.zeros((2,), jnp.float32)
     p = to_slot_layout(p, grid, box)
 
     def many_steps(p):
         def bd(pp, i):
-            pp, diag = explicit_step(pp, grid, mats, cfg, body)
+            rebin = (i % cfg.rebin_every) == 0 if cfg.rebin_every > 1 else None
+            pp, diag = explicit_step(pp, grid, mats, cfg, body, rebin=rebin)
             return pp, diag["nnz"]
 
         return jax.lax.scan(bd, p, jnp.arange(n_steps), length=n_steps)

@@ -1,0 +1,143 @@
+"""Multi-host parity worker: one process of a 2-process x 4-device CPU run
+(launched by tests/test_multihost.py; usage: _mh_worker.py <rank>).
+
+Builds the same advecting-band problem as tests/test_domain._problem, runs
+the halo-sharded explicit driver over a process-spanning 8-device mesh, and
+(every rank, deterministically) checks parity against a local single-device
+reference run.  Prints MH_PARITY_OK on success.
+"""
+
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def problem(n0=25, n1=9, vx=0.5, E=1e4):
+    import jax.numpy as jnp
+
+    from nlpartsol_tpu.models import materials as M
+    from nlpartsol_tpu.types import Grid, make_particles
+
+    h = 1.0 / 8.0
+    dims = (n0, n1)
+    n_nodes = n0 * n1
+    ids = np.arange(n_nodes).reshape(dims)
+    dmask = np.zeros((n_nodes, 2), bool)
+    dmask[ids[:, 0], 1] = True
+    grid = Grid(
+        dims=dims,
+        spacing=h,
+        origin=(0.0, 0.0),
+        dirichlet_mask=jnp.asarray(dmask),
+        dirichlet_value=jnp.zeros((n_nodes, 2), jnp.float32),
+    )
+    xs = []
+    for i in range(2, 10):
+        for j in range(1, 5):
+            xs.append([(i + 0.5) * h, (j + 0.5) * h])
+    x = np.array(xs, np.float32)
+    vol = h * h
+    rho = 1000.0
+    p = make_particles(
+        x,
+        mass=np.full(len(x), rho * vol, np.float32),
+        vol0=np.full(len(x), vol, np.float32),
+    )
+    v = np.zeros_like(x)
+    v[:, 0] = vx
+    v[:, 1] = 0.05 * np.sin(3.0 * x[:, 0])
+    p = p.replace(v=jnp.asarray(v))
+    mats = M.material_table(
+        [M.material(kind="Neo-Hookean-Wriggers", E=E, nu=0.3, rho0=rho)]
+    )
+    return grid, p, mats, h, np.sqrt(E / rho)
+
+
+def main(rank: int, nprocs: int = 2, port: int = 23357):
+    from nlpartsol_tpu.parallel import domain, multihost
+
+    multihost.initialize(
+        f"localhost:{port}", num_processes=nprocs, process_id=rank
+    )
+    import jax.numpy as jnp
+
+    from nlpartsol_tpu.formulations.explicit import (
+        ExplicitConfig, explicit_step, to_slot_layout,
+    )
+    from nlpartsol_tpu.models import materials as M
+    from nlpartsol_tpu.ops import windowed
+    from nlpartsol_tpu.shapefun import lme
+
+    assert jax.process_count() == nprocs
+    S = jax.device_count()
+    assert S == 8, S
+
+    grid, p, mats, h, cel = problem()
+    box = windowed.full_box(grid, capacity=2)
+    lp = lme.LMEParams(gamma=3.0)
+    n_steps = 20
+    cfg = ExplicitConfig(
+        dt=0.3 * h / cel,
+        shapefun="lme",
+        lme_params=lp,
+        kinds=(M.NEO_HOOKEAN,),
+        transfer="windowed",
+        active_box=box,
+    )
+    body = jnp.zeros((2,), jnp.float32)
+
+    # single-device reference (local; identical on every process)
+    p_ref = to_slot_layout(p, grid, box)
+
+    @jax.jit
+    def ref_run(pp):
+        def bd(c, _):
+            c, _d = explicit_step(c, grid, mats, cfg, body)
+            return c, None
+
+        return jax.lax.scan(bd, pp, None, length=n_steps)[0]
+
+    p_ref = ref_run(p_ref)
+
+    # process-spanning sharded run
+    offs = lme.offsets_for(2, lp)
+    mesh = multihost.global_mesh()
+    dec = domain.decompose(grid, box, S, offs)
+    ps = multihost.shard_particles_global(p, dec, mesh)
+    gs = multihost.shard_grid_global(grid, dec, mesh)
+    run = jax.jit(domain.sharded_explicit_run(mesh, dec, cfg, n_steps))
+    p_out, diag = run(ps, gs, mats, body)
+    lost = int(np.asarray(diag["lost"].addressable_shards[0].data))
+    assert lost == 0, f"lost={lost}"
+
+    p_all = multihost.gather_particles(p_out)
+    p_back = domain.unshard_particles(p_all, dec)
+
+    def by_pid(pp):
+        act = np.asarray(pp.active)
+        pid = np.asarray(pp.pid)[act]
+        order = np.argsort(pid)
+        return (
+            pid[order],
+            np.asarray(pp.x)[act][order],
+            np.asarray(pp.v)[act][order],
+        )
+
+    pid0, x0, v0 = by_pid(p_ref)
+    pid1, x1, v1 = by_pid(p_back)
+    np.testing.assert_array_equal(pid0, pid1)
+    np.testing.assert_allclose(x1, x0, rtol=0, atol=5e-5)
+    np.testing.assert_allclose(v1, v0, rtol=0, atol=5e-4)
+    print(f"MH_PARITY_OK rank={rank}", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]))
