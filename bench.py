@@ -109,10 +109,25 @@ def main():
     p = to_slot_layout(p, grid, box)
 
     def many_steps(p):
+        k = cfg.rebin_every
+        if k > 1:
+            # k-periodic nested scan with STATIC rebin flags (see
+            # formulations/explicit.run): k-1 plain steps + one rebin step
+            def inner(pp, _):
+                pp, diag = explicit_step(pp, grid, mats, cfg, body, rebin=False)
+                return pp, diag["nnz"]
+
+            def outer(pp, _):
+                pp, nnz1 = jax.lax.scan(inner, pp, None, length=k - 1)
+                pp, diag = explicit_step(pp, grid, mats, cfg, body, rebin=True)
+                return pp, jnp.concatenate([nnz1, diag["nnz"][None]])
+
+            pf, nnz = jax.lax.scan(outer, p, None, length=n_steps // k)
+            return pf, nnz.reshape(-1)
+
         def bd(carry, i):
             pp = carry
-            rebin = (i % cfg.rebin_every) == 0 if cfg.rebin_every > 1 else None
-            pp, diag = explicit_step(pp, grid, mats, cfg, body, rebin=rebin)
+            pp, diag = explicit_step(pp, grid, mats, cfg, body)
             return pp, diag["nnz"]
 
         return jax.lax.scan(bd, p, jnp.arange(n_steps), length=n_steps)

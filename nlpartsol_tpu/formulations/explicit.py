@@ -526,8 +526,14 @@ def _explicit_step_pallas(
     if local_mode:
         # restore the slot invariant (no sort, no gather); with
         # rebin_every = k > 1 only every k-th step pays the re-bin (the
-        # margin-widened kernels tolerate ≤ 1 cell of drift in between)
-        if cfg.rebin_every > 1 and rebin is not None:
+        # margin-widened kernels tolerate ≤ 1 cell of drift in between).
+        # A static Python-bool ``rebin`` selects at trace time (the nested
+        # k-periodic scan of run()/bench.py — no lax.cond, whose untaken
+        # branch copies the whole carry); a traced flag falls back to cond.
+        if isinstance(rebin, bool):
+            if rebin:
+                p_out, lost = windowed.local_rebin(p_out, grid, box)
+        elif cfg.rebin_every > 1 and rebin is not None:
             p_out, lost = jax.lax.cond(
                 rebin,
                 lambda q: windowed.local_rebin(q, grid, box),
@@ -597,6 +603,42 @@ def run(
         rebin = (i % cfg.rebin_every) == 0 if cfg.rebin_every > 1 else None
         pp, diag = explicit_step(pp, grid, mats, cfg, body_accel, rebin=rebin)
         return pp, (diag["kinetic_energy"], diag["strain_energy"], diag["nnz"])
+
+    k = cfg.rebin_every
+    if (
+        cfg.transfer == "pallas"
+        and cfg.rebin_mode == "local"
+        and k > 1
+        and n_steps % k == 0
+    ):
+        # k-periodic nested scan with STATIC rebin flags: k−1 plain steps +
+        # one rebin step per outer iteration — no lax.cond (whose untaken
+        # branch copies the full carry every step)
+        def inner(pp, _):
+            pp, diag = explicit_step(
+                pp, grid, mats, cfg, body_accel, rebin=False
+            )
+            return pp, (diag["kinetic_energy"], diag["strain_energy"], diag["nnz"])
+
+        def outer(pp, _):
+            pp, d1 = jax.lax.scan(inner, pp, None, length=k - 1)
+            pp, diag = explicit_step(
+                pp, grid, mats, cfg, body_accel, rebin=True
+            )
+            d2 = (diag["kinetic_energy"], diag["strain_energy"], diag["nnz"])
+            out = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b[None]]), d1, d2
+            )
+            return pp, out
+
+        p_final, (ke, se, nnz) = jax.lax.scan(
+            outer, p, None, length=n_steps // k
+        )
+        return p_final, dict(
+            kinetic_energy=ke.reshape(-1),
+            strain_energy=se.reshape(-1),
+            nnz=nnz.reshape(-1),
+        )
 
     p_final, (ke, se, nnz) = jax.lax.scan(
         body, p, jnp.arange(n_steps), length=n_steps

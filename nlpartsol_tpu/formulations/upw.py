@@ -88,6 +88,11 @@ class UpwConfig:
     active_box: windowed.ActiveBox = struct.field(pytree_node=False, default=None)
     axis_name: str = struct.field(pytree_node=False, default=None)
     gravity_g: float = struct.field(pytree_node=False, default=-9.81)
+    # block-partitioned grid strip (parallel/domain.HaloSpec); grid and
+    # active_box are then LOCAL templates and the engine halo-exchanges
+    halo: object = struct.field(pytree_node=False, default=None)
+    # particles already in slot layout (sharded drivers re-bin per step)
+    prebinned: bool = struct.field(pytree_node=False, default=False)
 
 
 def init_mixture_state(p: Particles, mats: MaterialTable, mix: MixtureTable) -> Particles:
@@ -129,7 +134,7 @@ def upw_step(
     n_nodes = grid.n_nodes
 
     lost = jnp.zeros((), jnp.int32)
-    if cfg.transfer == "windowed":
+    if cfg.transfer == "windowed" and not cfg.prebinned:
         binning = windowed.bin_particles(grid, cfg.active_box, p.x, p.active)
         p = windowed.permute_to_slots(p, binning)
         lost = binning.lost
@@ -278,7 +283,11 @@ def upw_step(
         mass=p.mass,
         lme_lambda=sf["lam"] if sf["lam"] is not None else p.lme_lambda,
     )
-    diag = dict(nnz=count_nnz(mask), lost=lost)
+    nnz = count_nnz(mask)
+    if cfg.axis_name is not None:
+        nnz = jax.lax.psum(nnz, cfg.axis_name)
+        lost = jax.lax.psum(lost, cfg.axis_name)
+    diag = dict(nnz=nnz, lost=lost)
     return p_out, diag
 
 
@@ -307,6 +316,11 @@ class UpwImplicitConfig:
     active_box: windowed.ActiveBox = struct.field(pytree_node=False, default=None)
     axis_name: str = struct.field(pytree_node=False, default=None)
     gravity_g: float = struct.field(pytree_node=False, default=-9.81)
+    # block-partitioned grid strip (parallel/domain.HaloSpec); grid and
+    # active_box are then LOCAL templates and the engine halo-exchanges
+    halo: object = struct.field(pytree_node=False, default=None)
+    # particles already in slot layout (sharded drivers re-bin per step)
+    prebinned: bool = struct.field(pytree_node=False, default=False)
 
 
 def upw_newmark_step(
@@ -350,7 +364,7 @@ def upw_newmark_step(
     g = cfg.gravity_g
 
     lost = jnp.zeros((), jnp.int32)
-    if cfg.transfer == "windowed":
+    if cfg.transfer == "windowed" and not cfg.prebinned:
         binning = windowed.bin_particles(grid, cfg.active_box, p.x, p.active)
         p = windowed.permute_to_slots(p, binning)
         lost = binning.lost
@@ -513,6 +527,7 @@ def upw_newmark_step(
         cg_tol=cfg.krylov_tol,
         cg_maxiter=cfg.krylov_maxiter,
         linear="gmres",
+        axis_name=cfg.halo.axis_name if cfg.halo is not None else None,
     )
     dU = jnp.where(free_u, res.x[:, :d], dU_dirichlet)
     dth = jnp.where(free_t, res.x[:, d], dth_dirichlet)
@@ -561,8 +576,12 @@ def upw_newmark_step(
         rho=jnp.where(act, rho_mix, p.rho),
         lme_lambda=sf["lam"] if sf["lam"] is not None else p.lme_lambda,
     )
+    nnz = count_nnz(mask)
+    if cfg.axis_name is not None:
+        nnz = jax.lax.psum(nnz, cfg.axis_name)
+        lost = jax.lax.psum(lost, cfg.axis_name)
     diag = dict(
-        nnz=count_nnz(mask),
+        nnz=nnz,
         lost=lost,
         newton_iters=res.iters,
         newton_residual=res.residual_norm,

@@ -285,14 +285,14 @@ def _make_scatter_kernel(g: _Geom, cN: int, has_G: bool, solve: bool,
     cout = cN + (2 if has_G else 0) + (1 if gnorm else 0)
     need_dn = has_G or gnorm
 
-    def kernel(vb_ref, x_ref, lam_ref, act_ref, fN_ref, G_ref, out_ref,
-               lam_out_ref, cnt_ref):
+    def kernel(vb_ref, in_ref, out_ref, lam_out_ref, cnt_ref):
+        # packed channel layout: [x0 x1 | lam0 lam1 | act | fN(cN) | G(4)?]
         cy0 = pl.program_id(0) * g.R
-        x0 = x_ref[0, 0]
-        x1 = x_ref[0, 1]
-        act = act_ref[0, 0] > 0.5
-        lam0 = lam_ref[0, 0]
-        lam1 = lam_ref[0, 1]
+        x0 = in_ref[0, 0]
+        x1 = in_ref[0, 1]
+        act = in_ref[0, 4] > 0.5
+        lam0 = in_ref[0, 2]
+        lam1 = in_ref[0, 3]
         cy = cy0 + _row_iota(g)
         rel, valid = _basis_terms(
             g, x0, x1, lam0, lam1, act, cy, vlo=vb_ref[0, 0], vhi=vb_ref[0, 1]
@@ -372,10 +372,10 @@ def _make_scatter_kernel(g: _Geom, cN: int, has_G: bool, solve: bool,
             )
             i00, i01, i11 = _inv2_damped(j00, j01, j11)
         if has_G:
-            g00 = G_ref[0, 0]
-            g01 = G_ref[0, 1]
-            g10 = G_ref[0, 2]
-            g11 = G_ref[0, 3]
+            g00 = in_ref[0, 5 + cN]
+            g01 = in_ref[0, 5 + cN + 1]
+            g10 = in_ref[0, 5 + cN + 2]
+            g11 = in_ref[0, 5 + cN + 3]
 
         lanepad = g.c1p2 - g.c1p
         k = 0
@@ -385,7 +385,7 @@ def _make_scatter_kernel(g: _Geom, cN: int, has_G: bool, solve: bool,
                 N_k = e_of(o0, o1) / Zs
                 shift = o1 + w  # bank col = cell col + (o1 + w)
                 for c in range(cN):
-                    rows = jnp.dot(sel, N_k * fN_ref[0, c],
+                    rows = jnp.dot(sel, N_k * in_ref[0, 5 + c],
                                    preferred_element_type=jnp.float32)
                     rows = jnp.pad(rows, ((0, 0), (0, lanepad)))
                     acc[c] = acc[c] + pltpu.roll(rows, shift, 1)
@@ -403,7 +403,7 @@ def _make_scatter_kernel(g: _Geom, cN: int, has_G: bool, solve: bool,
                         # Σ_p s_p·|∇N_pA|² with s_p = last fN channel — the
                         # Jacobi stiffness diagonal (PCJACOBI equivalent)
                         extra += [(cout - 1,
-                                   fN_ref[0, cN - 1] * (dn0 * dn0 + dn1 * dn1))]
+                                   in_ref[0, 5 + cN - 1] * (dn0 * dn0 + dn1 * dn1))]
                     for c, v in extra:
                         rows = jnp.dot(sel, v, preferred_element_type=jnp.float32)
                         rows = jnp.pad(rows, ((0, 0), (0, lanepad)))
@@ -547,17 +547,20 @@ def fused_scatter(
     dt = x_t.dtype
     org = jnp.asarray(grid.origin, dt)
     x_shift = x_t - org[:, None, None]
-    if not has_G:
-        G_t = jnp.zeros((4, g.C, g.nc), dt)
+
+    # one packed input: a single kernel-view relayout instead of five
+    # (the (Ns, ch) -> view transposes are fixed-cost copies, ~0.3 ms each)
+    packed = jnp.concatenate(
+        [x_shift, lam_t, act_t, fN_t] + ([G_t] if has_G else []), axis=0
+    )
+    cin = packed.shape[0]
 
     vb = _valid_bounds(g, valid_lo, valid_hi)
     kernel = _make_scatter_kernel(g, cN, has_G, solve, gnorm)
     out, lam_new, cnt = pl.pallas_call(
         kernel,
         grid=(g.nprog,),
-        in_specs=[_vb_spec(),
-                  _slot_spec(g, 2), _slot_spec(g, 2), _slot_spec(g, 1),
-                  _slot_spec(g, cN), _slot_spec(g, 4)],
+        in_specs=[_vb_spec(), _slot_spec(g, cin)],
         out_specs=[
             pl.BlockSpec((1, g.R, g.K1 * cout, g.c1p2), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -570,8 +573,7 @@ def fused_scatter(
             jax.ShapeDtypeStruct((g.nprog, 8, 128), jnp.float32),
         ],
         interpret=not _on_tpu(),
-    )(vb, _to_view(g, x_shift, 2), _to_view(g, lam_t, 2), _to_view(g, act_t, 1),
-      _to_view(g, fN_t, cN), _to_view(g, G_t, 4))
+    )(vb, _to_view(g, packed, cin))
 
     # XLA epilogue: K1 row-offset banks, each already o1-folded in-kernel.
     # Bank column p holds the contribution to node column p + (o1_box − w).
@@ -611,14 +613,15 @@ def _make_gather_kernel(g: _Geom, cN: int, has_grad: bool, cg: int):
     w, K = g.w, g.K
     assert w <= 4, "window halfwidth > 4 needs a 3rd row block"
 
-    def kernel(vb_ref, x_ref, lam_ref, act_ref, rlo_ref, rhi_ref,
+    def kernel(vb_ref, in_ref, rlo_ref, rhi_ref,
                outN_ref, outG_ref, rows_scr):
+        # packed channel layout: [x0 x1 | lam0 lam1 | act]
         cy0 = pl.program_id(0) * g.R
-        x0 = x_ref[0, 0]
-        x1 = x_ref[0, 1]
-        act = act_ref[0, 0] > 0.5
-        lam0 = lam_ref[0, 0]
-        lam1 = lam_ref[0, 1]
+        x0 = in_ref[0, 0]
+        x1 = in_ref[0, 1]
+        act = in_ref[0, 4] > 0.5
+        lam0 = in_ref[0, 2]
+        lam1 = in_ref[0, 3]
         cy = cy0 + _row_iota(g)
         rel, valid = _basis_terms(
             g, x0, x1, lam0, lam1, act, cy, vlo=vb_ref[0, 0], vhi=vb_ref[0, 1]
@@ -735,6 +738,7 @@ def fused_gather(
             memory_space=pltpu.VMEM,
         )
 
+    packed = jnp.concatenate([x_shift, lam_t, act_t], axis=0)
     vb = _valid_bounds(g, valid_lo, valid_hi)
     kernel = _make_gather_kernel(g, cN, has_grad, cg)
     outN, outG = pl.pallas_call(
@@ -742,9 +746,7 @@ def fused_gather(
         grid=(g.nprog,),
         in_specs=[
             _vb_spec(),
-            _slot_spec(g, 2),
-            _slot_spec(g, 2),
-            _slot_spec(g, 1),
+            _slot_spec(g, 5),
             row_spec(0),
             row_spec(1),
         ],
@@ -757,8 +759,7 @@ def fused_gather(
             pltpu.VMEM((cg, 16, Wrow), dt),
         ],
         interpret=not _on_tpu(),
-    )(vb, _to_view(g, x_shift, 2), _to_view(g, lam_t, 2), _to_view(g, act_t, 1),
-      gpad, gpad)
+    )(vb, _to_view(g, packed, 5), gpad, gpad)
 
     ns = g.C * g.nc
     outN_r = (

@@ -306,10 +306,32 @@ def local_rebin(p: Particles, grid: Grid, box: ActiveBox, in_capacity: int = Non
         rank = jnp.where(sel, r, rank)
         cum = cum + _shift_cells(jnp.sum(mi, axis=0), cdims, d, axes0)
     keep = act_eff & (rank < C)
-    dst = jnp.where(keep, rank * nc + tcell_flat, C * nc).reshape(-1)
 
-    out = jnp.zeros((C * nc, big.shape[1]), big.dtype).at[dst].set(
-        big.reshape(Cin * nc, -1), mode="drop"
+    # Dense INVERSE permutation (no sort, no scatter): XLA TPU row scatter
+    # sorts indices (~5.7 ms at Ns 4e5 profiled) while a row gather costs
+    # ~2.7 ms, and the inverse is constructible with 3^d masked compares
+    # because every destination's candidates are its 3^d neighbour cells.
+    axes1 = tuple(range(1, nd + 1))
+    cell_flat = jnp.sum(here * jnp.asarray(strides), axis=-1)  # (cdims,)
+    tgt_q = jnp.arange(C, dtype=jnp.int32).reshape((C, 1) + (1,) * nd)
+    src_r = (jnp.arange(Cin, dtype=jnp.int32) * nc).reshape((Cin,) + (1,) * nd)
+    inv = jnp.full((C,) + cdims, Cin * nc, jnp.int32)  # sentinel: no source
+    for d in itertools.product((0, -1, 1), repeat=nd):
+        doff = int(np.dot(d, strides))
+        sel_d = keep & jnp.all(delta == jnp.asarray(d, jnp.int32), axis=-1)
+        # target-frame views (out[t] = src[t - d]; wrapped strips zeroed)
+        sel_t = _shift_cells(sel_d.astype(jnp.int32), cdims, d, axes1) > 0
+        rank_t = _shift_cells(rank, cdims, d, axes1)
+        src_t = src_r + (cell_flat - doff)[None]
+        m = sel_t[None] & (tgt_q == rank_t[None])  # (C, Cin, cdims)
+        hit = jnp.max(jnp.where(m, src_t[None], -1), axis=1)
+        inv = jnp.where(hit >= 0, hit, inv)
+
+    inv_flat = inv.reshape(-1)
+    valid_row = inv_flat < Cin * nc
+    safe = jnp.minimum(inv_flat, Cin * nc - 1)
+    out = jnp.where(
+        valid_row[:, None], big.reshape(Cin * nc, -1)[safe], 0.0
     )
     p_new = unflatten_soa(out, specs, treedef)
     placed = jnp.sum(keep.astype(jnp.int32))

@@ -192,15 +192,20 @@ def decompose(
     """Build the 1-D decomposition of (grid, box) over ``n_shards`` devices.
 
     ``offsets`` is the shape-function window (K, d) — its axis-0 reach sets
-    the halo width.  Requires ``box.cdims[0]`` divisible by ``n_shards`` and
-    slabs at least one halo wide (nearest-neighbour-only exchange)."""
+    the halo width.  Any ``box.cdims[0]`` works: the box is auto-padded
+    with empty cell planes up to the next multiple of ``n_shards`` (the
+    padding binds no particles and its node slices clamp to the grid).
+    Slabs must still be at least one halo wide (nearest-neighbour-only
+    exchange)."""
     offs0 = np.asarray(offsets)[:, 0]
     wlo, whi = int(-offs0.min()), int(offs0.max())
     S = int(n_shards)
     if box.cdims[0] % S:
-        raise ValueError(
-            f"active box cdims[0]={box.cdims[0]} not divisible by {S} shards; "
-            f"pad the box (windowed.ActiveBox) to a multiple"
+        pad = S - box.cdims[0] % S
+        box = windowed.ActiveBox(
+            offset=box.offset,
+            cdims=(box.cdims[0] + pad,) + tuple(box.cdims[1:]),
+            capacity=box.capacity,
         )
     bc = box.cdims[0] // S
     if bc < max(wlo, whi, 1):
@@ -577,6 +582,43 @@ def sharded_explicit_run(mesh: Mesh, decomp: Decomp, cfg, n_steps: int):
         return p_out, dict(
             kinetic_energy=ke, strain_energy=se, nnz=nnz, lost=lost
         )
+
+    return run
+
+
+def sharded_upw_run(mesh: Mesh, decomp: Decomp, cfg, mix, n_steps: int):
+    """Halo-sharded explicit two-phase (upw) run — the geotech flagship
+    (upw_Verlet, U-pw-Verlet.c:60) on the block-partitioned grid with
+    per-step seam migration.  ``pw`` Dirichlet masks, when needed, must be
+    passed pre-stacked into strips like the grid arrays."""
+    from jax import shard_map
+
+    from ..formulations.upw import upw_step
+
+    spec = decomp.spec
+    cfgl = _localize_cfg(cfg, decomp)
+    pspec = P(spec.axis_name)
+    rep = P()
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspec, pspec, rep, rep),
+        out_specs=(pspec, rep),
+        check_vma=False,
+    )
+    def run(p, grid, mats, body):
+        def body_fn(carry, _):
+            pp, lost_acc = carry
+            pp, diag = upw_step(pp, grid, mats, mix, cfgl, body)
+            pp, lost = migrate_local(pp, spec, grid, decomp.local_box)
+            lost = jax.lax.psum(lost, spec.axis_name)
+            return (pp, lost_acc + lost), diag["nnz"]
+
+        (p_out, lost), nnz = jax.lax.scan(
+            body_fn, (p, jnp.zeros((), jnp.int32)), None, length=n_steps
+        )
+        return p_out, dict(nnz=nnz, lost=lost)
 
     return run
 

@@ -57,9 +57,22 @@ def main():
     p = to_slot_layout(p, grid, box)
 
     def many_steps(p):
+        k = cfg.rebin_every
+        if k > 1:
+            def inner(pp, _):
+                pp, diag = explicit_step(pp, grid, mats, cfg, body, rebin=False)
+                return pp, diag["nnz"]
+
+            def outer(pp, _):
+                pp, nnz1 = jax.lax.scan(inner, pp, None, length=k - 1)
+                pp, diag = explicit_step(pp, grid, mats, cfg, body, rebin=True)
+                return pp, jnp.concatenate([nnz1, diag["nnz"][None]])
+
+            pf, nnz = jax.lax.scan(outer, p, None, length=n_steps // k)
+            return pf, nnz.reshape(-1)
+
         def bd(pp, i):
-            rebin = (i % cfg.rebin_every) == 0 if cfg.rebin_every > 1 else None
-            pp, diag = explicit_step(pp, grid, mats, cfg, body, rebin=rebin)
+            pp, diag = explicit_step(pp, grid, mats, cfg, body)
             return pp, diag["nnz"]
 
         return jax.lax.scan(bd, p, jnp.arange(n_steps), length=n_steps)
@@ -71,6 +84,17 @@ def main():
     p2, _ = fn(p1)
     p2.x.block_until_ready()
     t_scan = time.perf_counter() - t0
+
+    if os.environ.get("SKIP_SINGLE"):
+        out = {"scan_step_ms": 1e3 * t_scan / n_steps, "n_steps": n_steps}
+        trace_dir = os.environ.get("TRACE_DIR")
+        if trace_dir:
+            with jax.profiler.trace(trace_dir):
+                p4, _ = fn(p1)
+                p4.x.block_until_ready()
+            out["trace_dir"] = trace_dir
+        print(json.dumps(out))
+        return
 
     # single jitted step on its own (returns the FULL state, so no
     # dead-code elimination of state-channel writes)

@@ -89,9 +89,13 @@ def test_decompose_structure():
     # per-device grid memory is a strip, not the full grid
     assert dec.local_grid.n_nodes < grid.n_nodes
     assert dec.local_grid.dims[0] == dec.spec.bc + dec.spec.wlo + dec.spec.whi
-    # uneven split is rejected loudly
+    # uneven split: auto-padded with empty cell planes (VERDICT r2 #7)
+    dec7 = domain.decompose(grid, box, 7, offs)
+    assert dec7.global_box.cdims[0] % 7 == 0
+    assert dec7.global_box.cdims[0] >= box.cdims[0]
+    # slabs thinner than the halo stay a loud error
     with pytest.raises(ValueError):
-        domain.decompose(grid, box, 7, offs)
+        domain.decompose(grid, box, 12, offs)
 
 
 def test_shard_roundtrip():
@@ -248,3 +252,83 @@ def test_halo_implicit_parity(sharded_transfer):
     np.testing.assert_allclose(x1, x0, rtol=0, atol=1e-4)
     np.testing.assert_allclose(v1, v0, rtol=0, atol=2e-3)
     np.testing.assert_allclose(J1, J0, rtol=0, atol=1e-4)
+
+
+def test_halo_upw_parity():
+    """Sharded two-phase (upw) explicit run matches the single-device run
+    (VERDICT r2 #7: the geotech flagship formulation must run sharded)."""
+    from nlpartsol_tpu.formulations.upw import (
+        UpwConfig, init_mixture_state, make_mixture_table, upw_step,
+    )
+
+    grid, p, mats0, h, cel = _problem(vx=0.4)
+    mats = M.material_table(
+        [
+            M.material(kind="Neo-Hookean-Wriggers", E=1e4, nu=0.3, rho0=1000.0),
+            M.material(
+                kind="Newtonian-Fluid-Compressible", rho0=1000.0,
+                compressibility=2.2e6,
+            ),
+        ]
+    )
+    mix = make_mixture_table(
+        [dict(soil_id=0, water_id=1, phi_s0=0.6, phi_f0=0.4, permeability=1e-5)]
+    )
+    p = init_mixture_state(p, mats, mix)
+    box = windowed.full_box(grid, capacity=2)
+    lp = lme.LMEParams(gamma=3.0)
+    n_steps = 20
+    # CFL on the MIXTURE celerity (fluid compressibility dominates:
+    # c ~ sqrt((K_f/phi_f)/rho_mix) ~ 74 m/s >> soil cel; Courant.c:60)
+    c_mix = np.sqrt((2.2e6 / 0.4) / 1000.0 + cel * cel)
+    cfg = UpwConfig(
+        dt=0.3 * h / c_mix,
+        shapefun="lme",
+        lme_params=lp,
+        kinds=(M.NEO_HOOKEAN,),
+        transfer="windowed",
+        active_box=box,
+    )
+    body = jnp.zeros((2,), jnp.float32)
+
+    p_ref = to_slot_layout(p, grid, box)
+
+    @jax.jit
+    def ref_run(pp):
+        def bd(c, _):
+            c, _d = upw_step(c, grid, mats, mix, cfg, body)
+            return c, None
+
+        return jax.lax.scan(bd, pp, None, length=n_steps)[0]
+
+    p_ref = ref_run(p_ref)
+
+    offs = lme.offsets_for(2, lp)
+    dec = domain.decompose(grid, box, S, offs)
+    mesh = domain.make_mesh(S)
+    ps = domain.shard_particles(p, dec)
+    gs = domain.shard_grid(grid, dec)
+    run = jax.jit(domain.sharded_upw_run(mesh, dec, cfg, mix, n_steps))
+    p_out, diag = run(ps, gs, mats, body)
+    assert int(diag["lost"]) == 0
+
+    p_back = domain.unshard_particles(p_out, dec)
+
+    def by_pid_pw(pp):
+        act = np.asarray(pp.active)
+        pid = np.asarray(pp.pid)[act]
+        order = np.argsort(pid)
+        return (
+            pid[order],
+            np.asarray(pp.x)[act][order],
+            np.asarray(pp.pw)[act][order],
+            np.asarray(pp.phi_f)[act][order],
+        )
+
+    pid0, x0, pw0, ff0 = by_pid_pw(p_ref)
+    pid1, x1, pw1, ff1 = by_pid_pw(p_back)
+    np.testing.assert_array_equal(pid0, pid1)
+    np.testing.assert_allclose(x1, x0, rtol=0, atol=5e-5)
+    pw_scale = max(1.0, float(np.abs(pw0).max()))
+    np.testing.assert_allclose(pw1, pw0, rtol=0, atol=2e-4 * pw_scale)
+    np.testing.assert_allclose(ff1, ff0, rtol=0, atol=1e-5)
