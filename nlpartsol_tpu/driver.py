@@ -31,6 +31,7 @@ from .shapefun import lme as lme_mod
 EXPLICIT_SCHEMES = {"NPC-FS", "FE", "Verlet", "Generalized-alpha"}
 IMPLICIT_SCHEMES = {"Newmark-beta-Finite-Strains", "Newmark-beta"}
 STATIC_SCHEMES = {"Static"}
+DEM_SCHEMES = {"Discrete-Energy-Momentum"}
 
 
 def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_box=None, dt=None):
@@ -90,6 +91,14 @@ def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_b
         return UpwImplicitConfig(
             beta=sp.beta,
             gamma=sp.gamma,
+            newton_tol=sp.tol,
+            newton_maxiter=sp.max_iter,
+            **common,
+        )
+    if sp.scheme in DEM_SCHEMES:
+        from .formulations.dem import DEMConfig
+
+        return DEMConfig(
             newton_tol=sp.tol,
             newton_maxiter=sp.max_iter,
             **common,
@@ -156,9 +165,19 @@ def run_simulation(
             return two_phase(p, g, mats, mixtures, cfg, body)
 
     else:
-        is_implicit = isinstance(cfg, ImplicitConfig)
-        step_fn = implicit_step if is_implicit else explicit_step
-        step = jax.jit(step_fn, static_argnums=(3,))
+        from .formulations.dem import DEMConfig, dem_step
+
+        if isinstance(cfg, DEMConfig):
+            is_implicit = True
+            dem_jit = jax.jit(dem_step, static_argnums=(3,))
+
+            def step(pp, g, mats_, cfg_, body, traction=None, t_area=None):
+                return dem_jit(pp, g, mats_, cfg_, body)
+
+        else:
+            is_implicit = isinstance(cfg, ImplicitConfig)
+            step_fn = implicit_step if is_implicit else explicit_step
+            step = jax.jit(step_fn, static_argnums=(3,))
 
     grid = setup.grid
     p = setup.particles

@@ -67,6 +67,16 @@ class DEMConfig:
     transfer: str = struct.field(pytree_node=False, default="scatter")
     active_box: windowed.ActiveBox = struct.field(pytree_node=False, default=None)
     axis_name: str = struct.field(pytree_node=False, default=None)
+    # midpoint stress integrator:
+    #   'discrete-gradient' — Gonzalez discrete gradient (energy-exact; the
+    #       TPU-native design, conserves W to machine precision)
+    #   'average-strain'    — the reference's S(C_mid, J_mid) rule
+    #       (average_strain_integration_Stress__Particles__,
+    #       U-Discrete-Energy-Momentum.c:50-80; used for the end-to-end
+    #       head-to-head golden gate, tests/test_reference_e2e.py)
+    stress_mode: str = struct.field(
+        pytree_node=False, default="discrete-gradient"
+    )
 
 
 def _strain_energy(F_n1, p, mats, kinds):
@@ -123,6 +133,11 @@ def dem_step(
     if grid.dirichlet_mask is not None:
         free = has_mass & ~grid.dirichlet_mask
         V_dirichlet = jnp.where(grid.dirichlet_mask, grid.dirichlet_value, 0.0)
+        # the reference imposes the BC on the PROJECTED velocity before the
+        # solve (imposse_Nodal_Velocity, U-Discrete-Energy-Momentum.c:228):
+        # constrained nodes carry the BC history, so the FLIP increment at
+        # the wall is the BC's, not minus the raw projection
+        Vn = jnp.where(grid.dirichlet_mask, grid.dirichlet_value, Vn)
     else:
         free = has_mass
         V_dirichlet = jnp.zeros((n_nodes, d), p.x.dtype)
@@ -154,6 +169,36 @@ def dem_step(
         S_star = S_mid + 2.0 * coef[:, None, None] * dC
         return jnp.einsum("pij,pjk->pik", F_mid, S_star)
 
+    def average_strain_PK1(F_n1):
+        """The reference's midpoint rule: S evaluated at the AVERAGED
+        C and J (not at F_mid), P = F_mid·S (U-Discrete-Energy-Momentum.c:
+        50-80 + compute_2PK_Stress_Tensor_Neo_Hookean_Wriggers,
+        Neo-Hookean.c:145-178)."""
+        from ..models.materials import NEO_HOOKEAN, lame_parameters
+
+        if tuple(cfg.kinds) != (NEO_HOOKEAN,):
+            raise ValueError(
+                "stress_mode='average-strain' implements the reference's "
+                "Neo-Hookean-Wriggers rule only"
+            )
+        F_mid = 0.5 * (p.F + F_n1)
+        C_n1 = jnp.einsum("pki,pkj->pij", F_n1, F_n1)
+        C_mid = 0.5 * (C_n + C_n1)
+        J_mid = 0.5 * (tn.det(p.F) + tn.det(F_n1))
+        lam, G = lame_parameters(mats.E[p.mat_id], mats.nu[p.mat_id])
+        C_inv = tn.inv(C_mid)
+        S = (
+            (0.5 * lam * (J_mid * J_mid - 1.0))[:, None, None] * C_inv
+            + G[:, None, None] * (eye[None] - C_inv)
+        )
+        return jnp.einsum("pij,pjk->pik", F_mid, S)
+
+    pk1_of = (
+        average_strain_PK1
+        if cfg.stress_mode == "average-strain"
+        else discrete_gradient_PK1
+    )
+
     GRAD = jnp.einsum("pji,pkj->pki", p.F, dN)  # F_nᵀ·∇N_A per edge
 
     def residual(V_free):
@@ -162,7 +207,7 @@ def dem_step(
         dU = dt * v_mid
         grad_du = kin.disp_gradient(eng.edge_gather(dU), dN)
         F_n1 = tn.bmm(grad_du + eye, p.F)
-        P_star = discrete_gradient_PK1(F_n1)
+        P_star = pk1_of(F_n1)
         fi = jnp.einsum(
             "pij,pkj->pki", P_star * p.vol0[:, None, None], GRAD
         )

@@ -286,16 +286,26 @@ def build_simulation(path: str) -> SimulationSetup:
 
     # --- initial conditions ---
     for ic in find_all(blocks, "GramsInitials"):
-        ids = (
-            read_node_list(os.path.join(base, str(ic.attrs["File"])))
-            if "File" in ic.attrs
-            else np.arange(len(pos))
-        )
-        v0 = np.asarray(particles.v)
+        # reference syntax: GramsInitials (Nodes=list.txt) { Value=[vx,vy] }
+        # (Read_GramsInitials.c:12-13); File= and V.x= forms also accepted.
+        # The list holds SOURCE-MESH ELEMENT ids: the reference applies the
+        # value to particles Array_Nodes[i]*GPxElement + j
+        # (Read_GramsInitials.c:141-148) and our seeding is elem-major too.
+        lf = ic.attrs.get("Nodes", ic.attrs.get("File"))
+        if lf is not None:
+            eids = read_node_list(os.path.join(base, str(lf)))
+            ids = (eids[:, None] * gpx + np.arange(gpx)[None, :]).reshape(-1)
+            ids = ids[ids < len(pos)]
+        else:
+            ids = np.arange(len(pos))
+        v0 = np.array(particles.v)
         for key, val in ic.props.items():
             comp = {"V.x": 0, "V.y": 1, "V.z": 2}.get(key)
             if comp is not None:
                 v0[ids, comp] = float(val)
+            elif key.lower() == "value":
+                vec = parse_vector(val)
+                v0[ids, : len(vec[:d])] = vec[:d]
         particles = particles.replace(v=jnp.asarray(v0))
 
     # --- hydrostatic initial stress (NLPS-Hidrostatic-Condition.c) ---
@@ -370,7 +380,14 @@ def build_simulation(path: str) -> SimulationSetup:
         for st in gb.statements:
             comp = {"g.x": 0, "g.y": 1, "g.z": 2}.get(st[0])
             if comp is not None and comp < d and len(st) > 1:
-                gravity[:, comp] = read_curve_file(os.path.join(base, st[1]), n_curve)
+                try:
+                    # reference constant form: 'g.x DOUBLE'
+                    # (__fill_gravity_constant, Read_Generate_Gravity_Field.c)
+                    gravity[:, comp] = float(st[1])
+                except ValueError:
+                    gravity[:, comp] = read_curve_file(
+                        os.path.join(base, st[1]), n_curve
+                    )
 
     # --- Neumann loads ---
     neumann = []

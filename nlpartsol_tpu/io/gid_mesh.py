@@ -141,17 +141,59 @@ def seed_particles(mesh: GidMesh, gp_per_elem: int = 1):
     if gp_per_elem == 1:
         pos = verts.mean(axis=1)
         return pos, vol
-    # symmetric interior points: blend centroid with each corner
-    nn = verts.shape[1]
-    cent = verts.mean(axis=1, keepdims=True)
-    w = 0.5
-    pts = cent * (1 - w) + verts * w  # (ne, nn, d)
-    if gp_per_elem == nn:
-        pos = pts.reshape(-1, coords.shape[1])
-        return pos, np.repeat(vol / nn, nn)
-    raise ValueError(
-        f"gp_per_elem={gp_per_elem} unsupported for {mesh.elem_type} (use 1 or {nn})"
-    )
+    # natural-coordinate seeding tables — EXACTLY the reference's
+    # element_to_particles__{T3,Q4,T4,H8}__ tables (T3.c / Q4.c:508-536 /
+    # T4.c / H8.c), so particle ids and positions match a reference run
+    # one-to-one (round-3 fix: the previous centroid-corner blend put
+    # particles at ±0.5 where the reference uses Gauss points ±1/sqrt(3))
+    g = 1.0 / np.sqrt(3.0)
+    a, b = 0.138196601125010, 0.585410196624968
+    tables = {
+        ("Q4", 4): ([[g, g], [g, -g], [-g, g], [-g, -g]], "quad"),
+        ("T3", 3): ([[1 / 6, 1 / 6], [2 / 3, 1 / 6], [1 / 6, 2 / 3]], "tri"),
+        ("T3", 4): (
+            [[1 / 6, 1 / 6], [2 / 3, 1 / 6], [1 / 6, 2 / 3], [1 / 3, 1 / 3]],
+            "tri",
+        ),
+        ("T4", 4): ([[a, a, a], [b, a, a], [a, b, a], [a, a, b]], "tet"),
+        ("H8", 8): (
+            [[-0.5, -0.5, 0.5], [0.5, -0.5, 0.5], [0.5, 0.5, 0.5],
+             [-0.5, 0.5, 0.5], [-0.5, -0.5, -0.5], [0.5, -0.5, -0.5],
+             [0.5, 0.5, -0.5], [-0.5, 0.5, -0.5]],
+            "hex",
+        ),
+    }
+    key = (mesh.elem_type, gp_per_elem)
+    if key not in tables:
+        raise ValueError(
+            f"gp_per_elem={gp_per_elem} unsupported for {mesh.elem_type}"
+        )
+    xi, kind = tables[key]
+    xi = np.asarray(xi)
+    if kind == "quad":
+        s, t = xi[:, 0], xi[:, 1]
+        N = 0.25 * np.stack(
+            [(1 - s) * (1 - t), (1 + s) * (1 - t), (1 + s) * (1 + t),
+             (1 - s) * (1 + t)], axis=1,
+        )
+    elif kind == "tri":
+        N = np.stack([1 - xi[:, 0] - xi[:, 1], xi[:, 0], xi[:, 1]], axis=1)
+    elif kind == "tet":
+        N = np.stack(
+            [1 - xi.sum(axis=1), xi[:, 0], xi[:, 1], xi[:, 2]], axis=1
+        )
+    else:  # hex
+        s, t, u = xi[:, 0], xi[:, 1], xi[:, 2]
+        N = 0.125 * np.stack(
+            [(1 - s) * (1 - t) * (1 - u), (1 + s) * (1 - t) * (1 - u),
+             (1 + s) * (1 + t) * (1 - u), (1 - s) * (1 + t) * (1 - u),
+             (1 - s) * (1 - t) * (1 + u), (1 + s) * (1 - t) * (1 + u),
+             (1 + s) * (1 + t) * (1 + u), (1 - s) * (1 + t) * (1 + u)],
+            axis=1,
+        )
+    pts = np.einsum("gk,ekd->egd", N, verts)  # (ne, gp, d), elem-major
+    pos = pts.reshape(-1, coords.shape[1])
+    return pos, np.repeat(vol / gp_per_elem, gp_per_elem)
 
 
 def element_volumes(mesh: GidMesh) -> np.ndarray:

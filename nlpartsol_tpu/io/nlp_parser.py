@@ -185,7 +185,12 @@ def find_all(blocks: List[Block], *keywords) -> List[Block]:
 
 
 def read_node_list(path: str) -> np.ndarray:
-    """Node/particle id list file (1-indexed in reference inputs)."""
+    """Node/particle id list file.  The reference reads these ids VERBATIM
+    as 0-based array indices (File2Chain.c:27 pushes atoi(word) straight
+    into the set that indexes Nodes2Mask etc.) — unlike the GiD mesh
+    connectivity, which is 1-based and decremented on read
+    (Read-GID-Mesh.c:407).  Round 3 fix: the previous -1 shifted every
+    boundary/path node by one relative to a real reference input deck."""
     ids = []
     with open(path) as fh:
         for line in fh:
@@ -193,7 +198,7 @@ def read_node_list(path: str) -> np.ndarray:
             if not line or line.startswith("#"):
                 continue
             ids.extend(int(t) for t in line.split())
-    return np.asarray(ids, np.int64) - 1
+    return np.asarray(ids, np.int64)
 
 
 def parse_vector(s) -> np.ndarray:

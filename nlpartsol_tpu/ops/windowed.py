@@ -211,6 +211,45 @@ def unflatten_soa(big: jax.Array, specs, treedef) -> Particles:
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def flatten_soa_T(p: Particles):
+    """Channel-major twin of :func:`flatten_soa`: ONE (CH, Np) f32 matrix.
+
+    XLA's layout assignment already stores narrow (Np, ch) leaves
+    channel-major on TPU (a (Np, 2) array tiled T(8,128) row-major would
+    pad lanes 64×), so concatenating their transposed views along axis 0
+    is layout-preserving — no giant relayout like the row-major concat
+    (profiled at 9.2 ms/rebin at Np 4e5, vs ~0.3 ms here)."""
+    leaves, treedef = jax.tree_util.tree_flatten(p)
+    np_ = leaves[0].shape[0]
+    rows = []
+    specs = []
+    for a in leaves:
+        trail = a.shape[1:]
+        ch = int(_prod(trail)) if trail else 1
+        f = a.reshape(np_, ch).T
+        rows.append(f if a.dtype == jnp.float32 else f.astype(jnp.float32))
+        specs.append((a.dtype, trail, ch))
+    return jnp.concatenate(rows, axis=0), specs, treedef  # (CH, Np)
+
+
+def unflatten_soa_T(bigT: jax.Array, specs, treedef) -> Particles:
+    """Inverse of :func:`flatten_soa_T` (row slices are layout-preserving)."""
+    n = bigT.shape[1]
+    out = []
+    off = 0
+    for dtype, trail, ch in specs:
+        f = bigT[off : off + ch].T
+        off += ch
+        if dtype == jnp.float32:
+            a = f
+        elif dtype == jnp.bool_:
+            a = f > 0.5
+        else:
+            a = f.astype(dtype)
+        out.append(a.reshape((n,) + trail))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def permute_to_slots(p: Particles, binning: Binning) -> Particles:
     """Re-layout the particle SoA into slot order (static size Ns) with a
     single wide row gather (see :func:`flatten_soa`)."""
@@ -267,7 +306,7 @@ def local_rebin(p: Particles, grid: Grid, box: ActiveBox, in_capacity: int = Non
     cdims = box.cdims
     nd = len(cdims)
     nc = box.n_cells
-    big, specs, treedef = flatten_soa(p)
+    bigT, specs, treedef = flatten_soa_T(p)  # (CH, Cin*nc) channel-major
     x_c = p.x.reshape((Cin,) + cdims + (p.dim,))
     act_c = p.active.reshape((Cin,) + cdims)
 
@@ -330,10 +369,8 @@ def local_rebin(p: Particles, grid: Grid, box: ActiveBox, in_capacity: int = Non
     inv_flat = inv.reshape(-1)
     valid_row = inv_flat < Cin * nc
     safe = jnp.minimum(inv_flat, Cin * nc - 1)
-    out = jnp.where(
-        valid_row[:, None], big.reshape(Cin * nc, -1)[safe], 0.0
-    )
-    p_new = unflatten_soa(out, specs, treedef)
+    outT = jnp.where(valid_row[None, :], bigT[:, safe], 0.0)
+    p_new = unflatten_soa_T(outT, specs, treedef)
     placed = jnp.sum(keep.astype(jnp.int32))
     lost = jnp.sum(act_c.astype(jnp.int32)) - placed
     return p_new, lost

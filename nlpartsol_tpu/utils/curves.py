@@ -83,6 +83,21 @@ def parse_curve_lines(lines, n: int) -> np.ndarray:
             continue
         kw = toks[0]
         p = _props(toks[1:])
+        if kw == "DAT_CURVE":
+            # mandatory header in reference curve files: 'DAT_CURVE NUM#n'
+            # allocates the curve (ReadCurve.c:52-70).  Our curves are sized
+            # by the solver's N, so the header is metadata only; a NUM
+            # differing from N would change the reference's active-step
+            # window (active_direction + IMIN) — warn loudly.
+            num = int(p.get("NUM", n))
+            if num != n:
+                import warnings
+
+                warnings.warn(
+                    f"curve DAT_CURVE NUM#{num} != solver N={n}: the "
+                    f"reference would deactivate this BC after step {num}"
+                )
+            continue
         if kw == "CONSTANT_CURVE":
             f += constant(n, p["SCALE"])
         elif kw == "RAMP_CURVE":

@@ -101,9 +101,9 @@ def bar_case(tmp_path):
     write_gid_quad_mesh(tmp_path / "body.msh", 20, 2, 0.05)
     # Dirichlet node lists: x-fixed end columns (1-indexed GiD node ids)
     ny1 = 3
-    left = [j + 1 for j in range(ny1)]
-    right = [20 * ny1 + j + 1 for j in range(ny1)]
-    allnodes = list(range(1, 21 * ny1 + 1))
+    left = [j for j in range(ny1)]
+    right = [20 * ny1 + j for j in range(ny1)]
+    allnodes = list(range(0, 21 * ny1))
     (tmp_path / "left.txt").write_text("\n".join(map(str, left)))
     (tmp_path / "right.txt").write_text("\n".join(map(str, right)))
     (tmp_path / "all.txt").write_text("\n".join(map(str, allnodes)))
@@ -230,8 +230,8 @@ def upw_case(tmp_path):
     write_gid_quad_mesh(tmp_path / "bg.msh", 2, 8, 0.1)
     write_gid_quad_mesh(tmp_path / "body.msh", 2, 8, 0.1)
     ny1, nx1 = 9, 3
-    bottom = [j * ny1 + 1 for j in range(nx1)]
-    allnodes = list(range(1, nx1 * ny1 + 1))
+    bottom = [j * ny1 for j in range(nx1)]
+    allnodes = list(range(0, nx1 * ny1))
     (tmp_path / "bottom.txt").write_text("\n".join(map(str, bottom)))
     (tmp_path / "all.txt").write_text("\n".join(map(str, allnodes)))
     (tmp_path / "zero.txt").write_text("CONSTANT_CURVE SCALE#0.0\n")
@@ -304,7 +304,7 @@ def test_hydrostatic_and_nodal_initial_conditions(tmp_path):
     write_gid_quad_mesh(tmp_path / "bg.msh", 4, 4, 0.25)
     write_gid_quad_mesh(tmp_path / "body.msh", 4, 4, 0.25)
     ny1 = 5
-    allnodes = list(range(1, 5 * ny1 + 1))
+    allnodes = list(range(0, 5 * ny1))
     (tmp_path / "all.txt").write_text("\n".join(map(str, allnodes)))
     (tmp_path / "sim.nlp").write_text(textwrap.dedent("""
     NLPS-Solver (Type=NPC-FS) {
@@ -388,7 +388,7 @@ def test_vtk_field_toggles(tmp_path):
 def test_csv_path_events(bar_case, tmp_path, monkeypatch):
     """Event-driven Gauss-point/particle-path CSV outputs
     (NLPS-Out-particle-path-csv.c flow)."""
-    (bar_case / "pids.txt").write_text("1\n5\n")
+    (bar_case / "pids.txt").write_text("0\n4\n")
     nlp = (bar_case / "sim.nlp").read_text()
     nlp += textwrap.dedent("""
     Out-particles-path-csv (i_ini=0; i_step=7; i_end=20) {

@@ -44,9 +44,9 @@ def gravity_bar(tmp_path):
     write_gid_quad_mesh(tmp_path / "bg.msh", 12, 2, 0.05)
     write_gid_quad_mesh(tmp_path / "body.msh", 12, 2, 0.05)
     ny1 = 3
-    left = [j + 1 for j in range(ny1)]
-    right = [12 * ny1 + j + 1 for j in range(ny1)]
-    allnodes = list(range(1, 13 * ny1 + 1))
+    left = [j for j in range(ny1)]
+    right = [12 * ny1 + j for j in range(ny1)]
+    allnodes = list(range(0, 13 * ny1))
     (tmp_path / "left.txt").write_text("\n".join(map(str, left)))
     (tmp_path / "right.txt").write_text("\n".join(map(str, right)))
     (tmp_path / "all.txt").write_text("\n".join(map(str, allnodes)))
