@@ -85,6 +85,90 @@ class ExplicitConfig:
 from .common import make_engine, shapefun_eval
 
 
+def _damage_update(p, grid, cfg, mats, act, cs, J_n1, F_n1):
+    """Nonlocal fracture update (Eigenerosion/Eigensoftening).  With
+    cfg.halo set, the Beps neighbourhood sums run on slot arrays extended
+    by a PARTICLE halo of ``beps_reach`` ghost cell planes per seam
+    (parallel/domain.slot_plane_halo) so neighbourhoods crossing shard
+    seams are complete (reference Beps.c:15-60 has no such seam — single
+    process)."""
+    halo = cfg.halo
+    if halo is None:
+        box = cfg.active_box
+        if cfg.damage == "eigenerosion":
+            return fracture.eigenerosion(
+                grid, box, x=p.x, active=act, damage_n=p.damage, W=cs.W,
+                J_n1=J_n1, vol0=p.vol0, stress=cs.tau, stress_zz=cs.tau_zz,
+                Ceps=mats.Ceps[p.mat_id], Gf=mats.Gf[p.mat_id],
+                reach=cfg.beps_reach,
+            )
+        if cfg.damage == "eigensoftening":
+            return fracture.eigensoftening(
+                grid, box, x=p.x, active=act, damage_n=p.damage,
+                strain_f_n=p.strain_f, mass=p.mass, F_n1=F_n1, stress=cs.tau,
+                stress_zz=cs.tau_zz, ft=mats.ft[p.mat_id],
+                heps=mats.heps[p.mat_id], wcrit=mats.wcrit[p.mat_id],
+                Ceps=mats.Ceps[p.mat_id], reach=cfg.beps_reach,
+            )
+        raise ValueError(f"unknown damage driver {cfg.damage}")
+
+    from ..parallel import domain as _dom
+
+    d = p.dim
+    n = act.shape[0]
+    mid = p.mat_id
+    arrs = dict(
+        x=p.x,
+        active=act.astype(p.x.dtype),
+        damage=p.damage,
+        strain_f=p.strain_f,
+        vol0=p.vol0,
+        mass=p.mass,
+        W=cs.W,
+        J=J_n1,
+        stress=cs.tau.reshape(n, d * d),
+        stress_zz=cs.tau_zz,
+        F=F_n1.reshape(n, d * d),
+        Ceps=mats.Ceps[mid],
+        Gf=mats.Gf[mid],
+        ft=mats.ft[mid],
+        heps=mats.heps[mid],
+        wcrit=mats.wcrit[mid],
+    )
+    ext, ext_box = _dom.slot_plane_halo(
+        arrs, halo, cfg.active_box, cfg.beps_reach, grid.spacing
+    )
+    ne = ext["x"].shape[0]
+    eact = ext["active"] > 0.5
+    if cfg.damage == "eigenerosion":
+        dout = fracture.eigenerosion(
+            grid, ext_box, x=ext["x"], active=eact, damage_n=ext["damage"],
+            W=ext["W"], J_n1=ext["J"], vol0=ext["vol0"],
+            stress=ext["stress"].reshape(ne, d, d), stress_zz=ext["stress_zz"],
+            Ceps=ext["Ceps"], Gf=ext["Gf"], reach=cfg.beps_reach,
+        )
+    elif cfg.damage == "eigensoftening":
+        dout = fracture.eigensoftening(
+            grid, ext_box, x=ext["x"], active=eact, damage_n=ext["damage"],
+            strain_f_n=ext["strain_f"], mass=ext["mass"],
+            F_n1=ext["F"].reshape(ne, d, d),
+            stress=ext["stress"].reshape(ne, d, d), stress_zz=ext["stress_zz"],
+            ft=ext["ft"], heps=ext["heps"], wcrit=ext["wcrit"],
+            Ceps=ext["Ceps"], reach=cfg.beps_reach,
+        )
+    else:
+        raise ValueError(f"unknown damage driver {cfg.damage}")
+    return fracture.DamageOut(
+        damage=_dom.slot_plane_restrict(
+            dout.damage, halo, cfg.active_box, cfg.beps_reach
+        ),
+        strain_f=_dom.slot_plane_restrict(
+            dout.strain_f, halo, cfg.active_box, cfg.beps_reach
+        ),
+    )
+
+
+
 def explicit_step(
     p: Particles,
     grid: Grid,
@@ -187,42 +271,7 @@ def explicit_step(
     if cfg.damage is not None:
         if cfg.transfer != "windowed":
             raise ValueError("fracture drivers require windowed transfer")
-        if cfg.damage == "eigenerosion":
-            dout = fracture.eigenerosion(
-                grid,
-                cfg.active_box,
-                x=p.x,
-                active=act,
-                damage_n=p.damage,
-                W=cs.W,
-                J_n1=J_n1,
-                vol0=p.vol0,
-                stress=cs.tau,
-                stress_zz=cs.tau_zz,
-                Ceps=mats.Ceps[p.mat_id],
-                Gf=mats.Gf[p.mat_id],
-                reach=cfg.beps_reach,
-            )
-        elif cfg.damage == "eigensoftening":
-            dout = fracture.eigensoftening(
-                grid,
-                cfg.active_box,
-                x=p.x,
-                active=act,
-                damage_n=p.damage,
-                strain_f_n=p.strain_f,
-                mass=p.mass,
-                F_n1=F_n1,
-                stress=cs.tau,
-                stress_zz=cs.tau_zz,
-                ft=mats.ft[p.mat_id],
-                heps=mats.heps[p.mat_id],
-                wcrit=mats.wcrit[p.mat_id],
-                Ceps=mats.Ceps[p.mat_id],
-                reach=cfg.beps_reach,
-            )
-        else:
-            raise ValueError(f"unknown damage driver {cfg.damage}")
+        dout = _damage_update(p, grid, cfg, mats, act, cs, J_n1, F_n1)
         damage_n1 = dout.damage
         strain_f_n1 = dout.strain_f
     tau_eff = cs.tau * (1.0 - damage_n1)[:, None, None]
@@ -325,12 +374,6 @@ def _explicit_step_pallas(
         # global grid are masked per-device via grid.valid_lo/valid_hi
         from ..parallel import domain as _dom
 
-        if cfg.damage is not None:
-            raise ValueError(
-                "fracture drivers are not yet halo-sharded (Beps sums need "
-                "a particle halo); run damage problems on the replicated "
-                "grid (parallel/mesh.py) or a single device"
-            )
         if cfg.rebin_mode != "none":
             raise ValueError(
                 "halo-sharded pallas steps rebin via domain.migrate_local "
@@ -448,23 +491,7 @@ def _explicit_step_pallas(
     damage_n1 = p.damage
     strain_f_n1 = p.strain_f
     if cfg.damage is not None:
-        if cfg.damage == "eigenerosion":
-            dout = fracture.eigenerosion(
-                grid, box, x=p.x, active=act, damage_n=p.damage, W=cs.W,
-                J_n1=J_n1, vol0=p.vol0, stress=cs.tau, stress_zz=cs.tau_zz,
-                Ceps=mats.Ceps[p.mat_id], Gf=mats.Gf[p.mat_id],
-                reach=cfg.beps_reach,
-            )
-        elif cfg.damage == "eigensoftening":
-            dout = fracture.eigensoftening(
-                grid, box, x=p.x, active=act, damage_n=p.damage,
-                strain_f_n=p.strain_f, mass=p.mass, F_n1=F_n1, stress=cs.tau,
-                stress_zz=cs.tau_zz, ft=mats.ft[p.mat_id],
-                heps=mats.heps[p.mat_id], wcrit=mats.wcrit[p.mat_id],
-                Ceps=mats.Ceps[p.mat_id], reach=cfg.beps_reach,
-            )
-        else:
-            raise ValueError(f"unknown damage driver {cfg.damage}")
+        dout = _damage_update(p, grid, cfg, mats, act, cs, J_n1, F_n1)
         damage_n1 = dout.damage
         strain_f_n1 = dout.strain_f
     tau_eff = cs.tau * (1.0 - damage_n1)[:, None, None]

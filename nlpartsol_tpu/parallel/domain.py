@@ -427,6 +427,71 @@ def migrate_and_rebin(
     return p_new, lost
 
 
+def slot_plane_halo(
+    arrs: dict,
+    spec: HaloSpec,
+    box: windowed.ActiveBox,
+    reach: int,
+    h: float,
+    x_key: str = "x",
+):
+    """PARTICLE halo for nonlocal neighbourhood sums (Beps fracture,
+    src/Constitutive/Fracture/Beps.c:15-60): extend capacity-major slot
+    arrays with ``reach`` ghost CELL planes per side along the sharded axis,
+    filled from the neighbours' seam planes via ppermute.  Positions in
+    ``arrs[x_key]`` are shifted into the local frame (±bc·h).  Edge shards
+    receive zeros (inactive ghosts).
+
+    Returns (ext_arrs, ext_box): slot arrays of the extended box with
+    cdims[0] = bc + 2·reach and offset[0] shifted by −reach; slice planes
+    [reach, reach+bc) of the outputs to get back owned slots.
+    """
+    S, ax = spec.n_shards, spec.axis_name
+    C = box.capacity
+    bc = box.cdims[0]
+    rest = box.n_cells // bc
+    r = int(reach)
+    assert 1 <= r <= bc
+
+    ext_box = windowed.ActiveBox(
+        offset=(box.offset[0] - r,) + tuple(box.offset[1:]),
+        cdims=(bc + 2 * r,) + tuple(box.cdims[1:]),
+        capacity=C,
+    )
+
+    def extend(name, a):
+        trail = a.shape[1:]
+        v = a.reshape((C, bc, rest) + trail)
+        top = v[:, bc - r :]
+        bot = v[:, :r]
+        if name == x_key:
+            top = top.at[..., 0].add(-spec.bc * h)  # sent upward: s → s+1
+            bot = bot.at[..., 0].add(spec.bc * h)   # sent downward: s → s−1
+        if S > 1:
+            from_dn = jax.lax.ppermute(top, ax, [(s, s + 1) for s in range(S - 1)])
+            from_up = jax.lax.ppermute(bot, ax, [(s, s - 1) for s in range(1, S)])
+        else:
+            from_dn = jnp.zeros_like(top)
+            from_up = jnp.zeros_like(bot)
+        out = jnp.concatenate([from_dn, v, from_up], axis=1)
+        return out.reshape((C * (bc + 2 * r) * rest,) + trail)
+
+    return {k: extend(k, a) for k, a in arrs.items()}, ext_box
+
+
+def slot_plane_restrict(a: jax.Array, spec: HaloSpec, box: windowed.ActiveBox,
+                        reach: int) -> jax.Array:
+    """Slice the owned planes out of a :func:`slot_plane_halo`-extended slot
+    array (inverse of the extension for per-slot outputs)."""
+    C = box.capacity
+    bc = box.cdims[0]
+    rest = box.n_cells // bc
+    r = int(reach)
+    trail = a.shape[1:]
+    v = a.reshape((C, bc + 2 * r, rest) + trail)
+    return v[:, r : r + bc].reshape((C * bc * rest,) + trail)
+
+
 def migrate_local(
     p: Particles,
     spec: HaloSpec,
