@@ -96,11 +96,14 @@ def main():
         kinds=(M.NEO_HOOKEAN,),
         transfer=transfer,
         active_box=box,
-        # local (sort-free) rebin amortised over 4 steps: margin-1 kernels
-        # tolerate the ≤ 1 cell of drift 4 steps at CFL 0.25 can produce;
-        # the re-bin permute/layout pass was the profiled top step cost
+        # local (sort-free) rebin amortised over 8 steps: the margin-1
+        # kernels need drift ≤ 1 cell between re-bins, i.e. particle speed
+        # ≤ c/(k·CFL) = c/2 at k=8 — far beyond any stable MPM regime (the
+        # bench's particles move at ~1e-4·c) — and violations are counted
+        # loudly (windowed.local_rebin lost).  The re-bin permute/layout
+        # pass is the profiled top step cost (~25 ms/firing; PERF.md).
         rebin_mode="local",
-        rebin_every=int(os.environ.get("BENCH_REBIN_EVERY", "4")),
+        rebin_every=int(os.environ.get("BENCH_REBIN_EVERY", "8")),
     )
     body = jnp.zeros((2,), jnp.float32)
 
