@@ -104,7 +104,16 @@ def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_b
             **common,
         )
     if sp.scheme in EXPLICIT_SCHEMES:
-        return ExplicitConfig(gamma=0.5, **common)
+        extra = {}
+        if (transfer == "pallas" and sp.cfl <= 0.25 and not setup.neumann
+                and setup.grid.dim == 2):
+            # amortised sort-free rebin: at CFL <= 0.25 a particle cannot
+            # cross > 1 cell in 4 steps unless it outruns the wave speed,
+            # so margin-1 kernels + every-4th-step rebin are unconditionally
+            # safe (and losses are counted loudly regardless); the rebin
+            # firing is the profiled top step cost (PERF.md)
+            extra["rebin_every"] = 4
+        return ExplicitConfig(gamma=0.5, **extra, **common)
     if sp.scheme in IMPLICIT_SCHEMES:
         return ImplicitConfig(
             beta=sp.beta,
@@ -265,7 +274,11 @@ def run_simulation(
             ci = jnp.minimum(i, t_curves.shape[1] - 1)
             traction = jnp.einsum("g,gpd->pd", t_curves[:, ci], t_masks)
             t_area = area0
-        pp, diag = step(pp, g, mats, cfg, body, traction, t_area)
+        step_kw = {}
+        if getattr(cfg, "rebin_every", 1) > 1:
+            k = cfg.rebin_every
+            step_kw["rebin"] = (i % k) == (k - 1)
+        pp, diag = step(pp, g, mats, cfg, body, traction, t_area, **step_kw)
         out = dict(
             lost=diag.get("lost", jnp.zeros((), jnp.int32)),
             kinetic_energy=diag.get("kinetic_energy", jnp.zeros(())),

@@ -82,11 +82,31 @@ def main():
         kinds=(M.NEO_HOOKEAN,),
         transfer=transfer,
         active_box=box,
+        # 3D default: per-step local rebin.  The 2D-style amortisation
+        # LOSES here: the margin-1 window is K1=9 -> 729 basis offsets vs
+        # 343, and the measured step got slower (298 ms at k=8 vs 166 ms at
+        # k=1 on the v5e) — the 3D kernels are sweep-bound, not rebin-bound
+        rebin_mode="local",
+        rebin_every=int(os.environ.get("BENCH_REBIN_EVERY", "1")),
     )
     body = jnp.zeros((3,), jnp.float32)
     p = to_slot_layout(p, grid, box)
 
     def many_steps(p):
+        k = cfg.rebin_every
+        if k > 1:
+            def inner(pp, _):
+                pp, diag = explicit_step(pp, grid, mats, cfg, body, rebin=False)
+                return pp, diag["nnz"]
+
+            def outer(pp, _):
+                pp, nnz1 = jax.lax.scan(inner, pp, None, length=k - 1)
+                pp, diag = explicit_step(pp, grid, mats, cfg, body, rebin=True)
+                return pp, jnp.concatenate([nnz1, diag["nnz"][None]])
+
+            pf, nnz = jax.lax.scan(outer, p, None, length=max(1, n_steps // k))
+            return pf, nnz.reshape(-1)
+
         def bd(carry, i):
             pp, diag = explicit_step(carry, grid, mats, cfg, body)
             return pp, diag["nnz"]
