@@ -16,7 +16,10 @@ Axis mapping (grid dims (n0, n1, n2), box cdims (c0, c1, c2)):
   o0 (plane) and o1 (row) window axes become K1² output banks combined by
   a static-slice XLA epilogue.
 
-The λ-Newton moment sweeps run as ``fori_loop`` over the K offsets (o
+The λ-Newton moment sweeps run statically unrolled over the RADIUS-CULLED
+offset list (343 → 179 at γ=3; offsets whose closest approach exceeds the
+support radius can never contribute).  (Historically they ran as
+``fori_loop`` over the K offsets (o
 decoded arithmetically) so kernel code size stays flat in K; only the
 single contraction sweep is unrolled (it must issue static roll shifts and
 bank stores).
@@ -74,6 +77,24 @@ class _Geom3:
         self.nprog = self.c0 * self.nprog1
         self.RC = self.R * self.C
         self.params = params
+        self.margin = margin
+        # radius culling (see pallas_transfer._Geom): offsets whose closest
+        # approach to a particle (within ±(0.5+margin) cells of its slot
+        # cell) exceeds the support radius can never contribute —
+        # 343 → 179 offsets at γ=3 margin 0, a ~1.9× cut of every basis
+        # sweep (the 3D kernels are sweep-bound, PERF.md)
+        # asymmetric closest approach: see pallas_transfer._Geom
+        def _md(o):
+            return max(0.0, o - 1.0 - margin, -o - margin)
+
+        rm = r_sup / grid.spacing
+        self.trips = [
+            (o0, o1, o2)
+            for o0 in range(-self.w, self.w + 1)
+            for o1 in range(-self.w, self.w + 1)
+            for o2 in range(-self.w, self.w + 1)
+            if _md(o0) ** 2 + _md(o1) ** 2 + _md(o2) ** 2 <= rm * rm
+        ]
 
 
 def _row_iota3(g: _Geom3):
@@ -189,12 +210,10 @@ def _f_of(g: _Geom3, rel, valid, lam0, lam1, lam2):
 
 def _fmax_sweep(g: _Geom3, f_of, shape):
     neg = jnp.float32(-1e30)
-
-    def bk(k, fmax):
-        o0, o1, o2 = _decode(g, k)
-        return jnp.maximum(fmax, f_of(o0, o1, o2))
-
-    return jax.lax.fori_loop(0, g.K, bk, jnp.full(shape, neg, jnp.float32))
+    fmax = jnp.full(shape, neg, jnp.float32)
+    for o0, o1, o2 in g.trips:
+        fmax = jnp.maximum(fmax, f_of(o0, o1, o2))
+    return fmax
 
 
 # ---------------------------------------------------------------------------
@@ -234,8 +253,8 @@ def _make_scatter_kernel3(g: _Geom3, cN: int, has_G: bool, solve: bool,
                 f_of, neg = _f_of(g, rel, valid, lam0, lam1, lam2)
                 fmax = _fmax_sweep(g, f_of, shape)
 
-                def bk(k, acc):
-                    o0, o1, o2 = _decode(g, k)
+                def bk(tr, acc):
+                    o0, o1, o2 = tr
                     f = f_of(o0, o1, o2)
                     e = jnp.where(f > neg * 0.5, jnp.exp(f - fmax), 0.0)
                     l0, l1, l2 = rel(o0, o1, o2)
@@ -248,7 +267,9 @@ def _make_scatter_kernel3(g: _Geom3, cN: int, has_G: bool, solve: bool,
                     )
 
                 zero = jnp.zeros(shape, jnp.float32)
-                acc = jax.lax.fori_loop(0, g.K, bk, (zero,) * 10)
+                acc = (zero,) * 10
+                for tr in g.trips:
+                    acc = bk(tr, acc)
                 S0, S1_0, S1_1, S1_2, S00, S01, S02, S11, S12, S22 = acc
                 Zs = jnp.maximum(S0, 1e-30)
                 r0 = S1_0 / Zs
@@ -286,14 +307,13 @@ def _make_scatter_kernel3(g: _Geom3, cN: int, has_G: bool, solve: bool,
         f_of, neg = _f_of(g, rel, valid, lam0, lam1, lam2)
         fmax = _fmax_sweep(g, f_of, shape)
 
-        def bz(k, acc):
-            o0, o1, o2 = _decode(g, k)
+        zero = jnp.zeros(shape, jnp.float32)
+        Z, cnt = zero, zero
+        for o0, o1, o2 in g.trips:
             f = f_of(o0, o1, o2)
             e = jnp.where(f > neg * 0.5, jnp.exp(f - fmax), 0.0)
-            return acc[0] + e, acc[1] + (e > 0.0).astype(jnp.float32)
-
-        zero = jnp.zeros(shape, jnp.float32)
-        Z, cnt = jax.lax.fori_loop(0, g.K, bz, (zero, zero))
+            Z = Z + e
+            cnt = cnt + (e > 0.0).astype(jnp.float32)
         Zs = jnp.maximum(Z, 1e-30)
         total = jnp.sum(cnt)
         onehot = (
@@ -308,20 +328,17 @@ def _make_scatter_kernel3(g: _Geom3, cN: int, has_G: bool, solve: bool,
 
         if need_dn:
             # r and J moments of the normalised basis (LME.c:766,795)
-            def bm(k, acc):
-                o0, o1, o2 = _decode(g, k)
-                p = e_of(o0, o1, o2) / Zs
-                l0, l1, l2 = rel(o0, o1, o2)
-                (r0, r1, r2, S00, S01, S02, S11, S12, S22) = acc
-                return (
+            acc9 = (zero,) * 9
+            for o0_, o1_, o2_ in g.trips:
+                p = e_of(o0_, o1_, o2_) / Zs
+                l0, l1, l2 = rel(o0_, o1_, o2_)
+                (r0, r1, r2, S00, S01, S02, S11, S12, S22) = acc9
+                acc9 = (
                     r0 + p * l0, r1 + p * l1, r2 + p * l2,
                     S00 + p * l0 * l0, S01 + p * l0 * l1, S02 + p * l0 * l2,
                     S11 + p * l1 * l1, S12 + p * l1 * l2, S22 + p * l2 * l2,
                 )
-
-            r0, r1, r2, S00, S01, S02, S11, S12, S22 = jax.lax.fori_loop(
-                0, g.K, bm, (zero,) * 9
-            )
+            r0, r1, r2, S00, S01, S02, S11, S12, S22 = acc9
             i00, i01, i02, i11, i12, i22 = _inv3_damped(
                 S00 - r0 * r0, S01 - r0 * r1, S02 - r0 * r2,
                 S11 - r1 * r1, S12 - r1 * r2, S22 - r2 * r2,
@@ -336,7 +353,7 @@ def _make_scatter_kernel3(g: _Geom3, cN: int, has_G: bool, solve: bool,
         for o0 in _offs(w):
             for o1 in _offs(w):
                 acc = [jnp.zeros((g.R, g.c2p2), jnp.float32) for _ in range(cout)]
-                for o2 in _offs(w):
+                for o2 in [c for (a, b, c) in g.trips if a == o0 and b == o1]:
                     N_k = e_of(o0, o1, o2) / Zs
                     shift = o2 + w
                     for c in range(cN):
@@ -586,12 +603,10 @@ def _make_gather_kernel3(g: _Geom3, cN: int, has_grad: bool, cg: int):
         f_of, neg = _f_of(g, rel, valid, lam0, lam1, lam2)
         fmax = _fmax_sweep(g, f_of, shape)
 
-        def bz(k, acc):
-            o0, o1, o2 = _decode(g, k)
+        Z = jnp.zeros(shape, jnp.float32)
+        for o0, o1, o2 in g.trips:
             f = f_of(o0, o1, o2)
-            return acc + jnp.where(f > neg * 0.5, jnp.exp(f - fmax), 0.0)
-
-        Z = jax.lax.fori_loop(0, g.K, bz, jnp.zeros(shape, jnp.float32))
+            Z = Z + jnp.where(f > neg * 0.5, jnp.exp(f - fmax), 0.0)
         Zs = jnp.maximum(Z, 1e-30)
 
         def e_of(o0, o1, o2):
@@ -601,20 +616,17 @@ def _make_gather_kernel3(g: _Geom3, cN: int, has_grad: bool, cg: int):
         if has_grad:
             zero = jnp.zeros(shape, jnp.float32)
 
-            def bm(k, acc):
-                o0, o1, o2 = _decode(g, k)
-                p = e_of(o0, o1, o2) / Zs
-                l0, l1, l2 = rel(o0, o1, o2)
-                (r0, r1, r2, S00, S01, S02, S11, S12, S22) = acc
-                return (
+            acc9 = (zero,) * 9
+            for o0_, o1_, o2_ in g.trips:
+                p = e_of(o0_, o1_, o2_) / Zs
+                l0, l1, l2 = rel(o0_, o1_, o2_)
+                (r0, r1, r2, S00, S01, S02, S11, S12, S22) = acc9
+                acc9 = (
                     r0 + p * l0, r1 + p * l1, r2 + p * l2,
                     S00 + p * l0 * l0, S01 + p * l0 * l1, S02 + p * l0 * l2,
                     S11 + p * l1 * l1, S12 + p * l1 * l2, S22 + p * l2 * l2,
                 )
-
-            r0, r1, r2, S00, S01, S02, S11, S12, S22 = jax.lax.fori_loop(
-                0, g.K, bm, (zero,) * 9
-            )
+            r0, r1, r2, S00, S01, S02, S11, S12, S22 = acc9
             i00, i01, i02, i11, i12, i22 = _inv3_damped(
                 S00 - r0 * r0, S01 - r0 * r1, S02 - r0 * r2,
                 S11 - r1 * r1, S12 - r1 * r2, S22 - r2 * r2,
@@ -635,7 +647,7 @@ def _make_gather_kernel3(g: _Geom3, cN: int, has_grad: bool, cg: int):
             plane_l = pz_mod8 + (8 + o0)  # staged-plane index (traced)
             for o1 in _offs(w):
                 lrow = w + o1  # padded-row of cell row r=0 (static)
-                for o2 in _offs(w):
+                for o2 in [c for (a, b, c) in g.trips if a == o0 and b == o1]:
                     col = g.o2b + o2 + w  # static padded col of cell j=0
                     N_k = e_of(o0, o1, o2) / Zs
                     blk = rows_scr[
