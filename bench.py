@@ -74,7 +74,7 @@ def main():
     from nlpartsol_tpu.models import materials as M
     from nlpartsol_tpu.shapefun import lme
 
-    n_steps = int(os.environ.get("BENCH_STEPS", "30"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "32"))  # 32 = 4 outer scans of the 8-step period (matches the warmed compile cache)
     grid, p, mats, h = build_problem(
         n_side=int(os.environ.get("BENCH_GRID", "512")),
         ppc=int(os.environ.get("BENCH_PPC", "2")),

@@ -116,7 +116,7 @@ def test_shard_roundtrip():
 def _single_device_run(grid, p, mats, cfg, n_steps):
     box = cfg.active_box
     p = to_slot_layout(p, grid, box)
-    body = jnp.zeros((2,), jnp.float32)
+    body = jnp.zeros((grid.dim,), jnp.float32)
 
     @jax.jit
     def run(p):
@@ -382,3 +382,65 @@ def test_halo_fracture_parity():
     d1, x1 = dmg_by_pid(p_back)
     np.testing.assert_allclose(x1, x0, rtol=0, atol=5e-5)
     np.testing.assert_array_equal(d1 > 0.5, d0 > 0.5)  # same eroded set
+
+
+@pytest.mark.parametrize("sharded_transfer", ["windowed", "pallas"])
+def test_halo_3d_parity(sharded_transfer):
+    """3D halo sharding: strips along axis 0 of a 3D grid, both transfer
+    engines (the 3D fused kernels take the same per-device valid-plane
+    bounds as 2D)."""
+    h = 1.0 / 8.0
+    dims = (17, 6, 6)
+    grid = Grid(dims=dims, spacing=h, origin=(0.0, 0.0, 0.0))
+    xs = []
+    for i in range(2, 8):
+        for j in range(1, 4):
+            for k in range(1, 4):
+                xs.append([(i + 0.5) * h, (j + 0.5) * h, (k + 0.5) * h])
+    x = np.array(xs, np.float32)
+    vol = h**3
+    rho, E = 1000.0, 1e4
+    p = make_particles(
+        x,
+        mass=np.full(len(x), rho * vol, np.float32),
+        vol0=np.full(len(x), vol, np.float32),
+    )
+    v = np.zeros_like(x)
+    v[:, 0] = 0.4
+    v[:, 1] = 0.05 * np.sin(3.0 * x[:, 0])
+    p = p.replace(v=jnp.asarray(v))
+    mats = M.material_table(
+        [M.material(kind="Neo-Hookean-Wriggers", E=E, nu=0.3, rho0=rho)]
+    )
+    cel = np.sqrt(E / rho)
+    box = windowed.full_box(grid, capacity=2)
+    lp = lme.LMEParams(gamma=3.0)
+    n_steps = 10
+    cfg = ExplicitConfig(
+        dt=0.3 * h / cel,
+        shapefun="lme",
+        lme_params=lp,
+        kinds=(M.NEO_HOOKEAN,),
+        transfer="windowed",
+        active_box=box,
+    )
+    p_ref = _single_device_run(grid, p, mats, cfg, n_steps)
+
+    cfg = cfg.replace(transfer=sharded_transfer)
+    offs = lme.offsets_for(3, lp)
+    S3 = 4  # 16 cells along axis 0 -> 4 planes per shard (halo w=3)
+    dec = domain.decompose(grid, box, S3, offs)
+    mesh = domain.make_mesh(S3)
+    ps = domain.shard_particles(p, dec)
+    gs = domain.shard_grid(grid, dec)
+    run = jax.jit(domain.sharded_explicit_run(mesh, dec, cfg, n_steps))
+    p_out, diag = run(ps, gs, mats, jnp.zeros((3,), jnp.float32))
+    assert int(diag["lost"]) == 0
+
+    p_back = domain.unshard_particles(p_out, dec)
+    pid0, x0, v0, J0 = _by_pid(p_ref)
+    pid1, x1, v1, J1 = _by_pid(p_back)
+    np.testing.assert_array_equal(pid0, pid1)
+    np.testing.assert_allclose(x1, x0, rtol=0, atol=5e-5)
+    np.testing.assert_allclose(v1, v0, rtol=0, atol=5e-4)
+    np.testing.assert_allclose(J1, J0, rtol=0, atol=5e-5)
