@@ -96,14 +96,15 @@ def main():
         kinds=(M.NEO_HOOKEAN,),
         transfer=transfer,
         active_box=box,
-        # local (sort-free) rebin amortised over 8 steps: the margin-1
+        # local (sort-free) rebin amortised over 16 steps: the margin-1
         # kernels need drift ≤ 1 cell between re-bins, i.e. particle speed
-        # ≤ c/(k·CFL) = c/2 at k=8 — far beyond any stable MPM regime (the
-        # bench's particles move at ~1e-4·c) — and violations are counted
-        # loudly (windowed.local_rebin lost).  The re-bin permute/layout
-        # pass is the profiled top step cost (~25 ms/firing; PERF.md).
+        # ≤ c/(k·CFL) = c/4 at k=16 — solids in MPM rarely exceed ~0.1·c
+        # (the bench's particles move at ~1e-4·c) — and violations are
+        # counted LOUDLY (windowed.local_rebin lost), never silent.  The
+        # re-bin permute/layout pass costs ~26 ms/firing (PERF.md k-sweep);
+        # the production driver defaults to the unconditionally-safe k=4.
         rebin_mode="local",
-        rebin_every=int(os.environ.get("BENCH_REBIN_EVERY", "8")),
+        rebin_every=int(os.environ.get("BENCH_REBIN_EVERY", "16")),
     )
     body = jnp.zeros((2,), jnp.float32)
 

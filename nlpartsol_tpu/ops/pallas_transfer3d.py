@@ -134,14 +134,6 @@ def _slot_spec3(g: _Geom3, ch: int):
     )
 
 
-def _decode(g: _Geom3, k):
-    """Flat window index k → (o0, o1, o2) offsets (traced ints ok)."""
-    K1 = g.K1
-    o0 = k // (K1 * K1) - g.w
-    r = k % (K1 * K1)
-    return o0, r // K1 - g.w, r % K1 - g.w
-
-
 def _inv3_damped(j00, j01, j02, j11, j12, j22):
     """Damped closed-form symmetric 3×3 inverse (LME Hessian solve;
     replaces the rcond<1e-8 abort, LME.c:308-313).  Returns the 6 unique
