@@ -74,7 +74,7 @@ def main():
     from nlpartsol_tpu.models import materials as M
     from nlpartsol_tpu.shapefun import lme
 
-    n_steps = int(os.environ.get("BENCH_STEPS", "32"))  # 32 = 4 outer scans of the 8-step period (matches the warmed compile cache)
+    n_steps = int(os.environ.get("BENCH_STEPS", "32"))  # 2 outer scans of the 16-step rebin period (matches the warmed compile cache)
     grid, p, mats, h = build_problem(
         n_side=int(os.environ.get("BENCH_GRID", "512")),
         ppc=int(os.environ.get("BENCH_PPC", "2")),
@@ -126,7 +126,12 @@ def main():
                 pp, diag = explicit_step(pp, grid, mats, cfg, body, rebin=True)
                 return pp, jnp.concatenate([nnz1, diag["nnz"][None]])
 
-            pf, nnz = jax.lax.scan(outer, p, None, length=n_steps // k)
+            n_outer = max(1, n_steps // k)
+            if n_outer * k != n_steps:
+                print(f"# note: running {n_outer * k} steps "
+                      f"(BENCH_STEPS={n_steps} rounded to the rebin period {k})",
+                      file=sys.stderr)
+            pf, nnz = jax.lax.scan(outer, p, None, length=n_outer)
             return pf, nnz.reshape(-1)
 
         def bd(carry, i):

@@ -98,6 +98,12 @@ def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_b
     if sp.scheme in DEM_SCHEMES:
         from .formulations.dem import DEMConfig
 
+        if setup.neumann:
+            raise ValueError(
+                "Discrete-Energy-Momentum does not support Neumann traction "
+                "loads (dem_step has no traction path); use the Newmark-beta "
+                "or explicit schemes"
+            )
         return DEMConfig(
             newton_tol=sp.tol,
             newton_maxiter=sp.max_iter,

@@ -82,7 +82,7 @@ class ExplicitConfig:
     prebinned: bool = struct.field(pytree_node=False, default=False)
 
 
-from .common import make_engine, shapefun_eval
+from .common import found_lost, make_engine, shapefun_eval
 
 
 def _damage_update(p, grid, cfg, mats, act, cs, J_n1, F_n1):
@@ -203,10 +203,7 @@ def explicit_step(
     # --- shape functions (fused local search + N + ∇N) ---
     sf, offsets = shapefun_eval(cfg, grid, p)
     N, dN, mask = sf["N"], sf["dN"], sf["mask"] & act[:, None]
-    if sf.get("found") is not None:
-        # unstructured FEMesh: particles outside every element freeze with
-        # zero N/dN — count them as lost so run_simulation reports loudly
-        lost = lost + jnp.sum(act & ~sf["found"], dtype=jnp.int32)
+    lost = lost + found_lost(sf, act)
     eng = make_engine(cfg, grid, sf, offsets, mask)
 
     # --- lumped mass ---

@@ -41,7 +41,7 @@ from ..ops.sparse import nnz as count_nnz
 from ..shapefun import alme, lme
 from ..types import Grid, Particles
 from . import kinematics as kin
-from .common import make_engine, shapefun_eval
+from .common import found_lost, make_engine, shapefun_eval
 
 
 class NewmarkParams(NamedTuple):
@@ -164,9 +164,7 @@ def implicit_step(
 
     sf, offsets = shapefun_eval(cfg, grid, p)
     N, dN, mask = sf["N"], sf["dN"], sf["mask"] & act[:, None]
-    if sf.get("found") is not None:
-        # unstructured FEMesh: count not-found particles as lost (loud)
-        lost = lost + jnp.sum(act & ~sf["found"], dtype=jnp.int32)
+    lost = lost + found_lost(sf, act)
     eng = make_engine(cfg, grid, sf, offsets, mask)
 
     m_nodes = eng.p2g(N * p.mass[:, None])
@@ -437,7 +435,6 @@ def _implicit_step_pallas(
 
     local_mode = (
         cfg.rebin_mode == "local" and traction is None and not cfg.prebinned
-        and cfg.rebin_mode != "none"
     )
     lost = jnp.zeros((), jnp.int32)
     if not local_mode and not cfg.prebinned:

@@ -250,22 +250,21 @@ def _r_and_J(g: _Geom, rel, p_of):
     r0 = r1 = j00 = j01 = j11 = None
     k = 0
     for o0, o1 in g.pairs:
-        if True:
-            l0, l1 = rel(o0, o1)
-            p = p_of(o0, o1, k)
-            if k == 0:
-                r0 = p * l0
-                r1 = p * l1
-                j00 = p * l0 * l0
-                j01 = p * l0 * l1
-                j11 = p * l1 * l1
-            else:
-                r0 = r0 + p * l0
-                r1 = r1 + p * l1
-                j00 = j00 + p * l0 * l0
-                j01 = j01 + p * l0 * l1
-                j11 = j11 + p * l1 * l1
-            k += 1
+        l0, l1 = rel(o0, o1)
+        p = p_of(o0, o1, k)
+        if k == 0:
+            r0 = p * l0
+            r1 = p * l1
+            j00 = p * l0 * l0
+            j01 = p * l0 * l1
+            j11 = p * l1 * l1
+        else:
+            r0 = r0 + p * l0
+            r1 = r1 + p * l1
+            j00 = j00 + p * l0 * l0
+            j01 = j01 + p * l0 * l1
+            j11 = j11 + p * l1 * l1
+        k += 1
     j00 = j00 - r0 * r0
     j01 = j01 - r0 * r1
     j11 = j11 - r1 * r1
@@ -339,16 +338,15 @@ def _make_scatter_kernel(g: _Geom, cN: int, has_G: bool, solve: bool,
                 S1_0 = S1_1 = zero
                 S2_00 = S2_01 = S2_11 = zero
                 for o0, o1 in g.pairs:
-                    if True:
-                        f = f_of(o0, o1)
-                        e = jnp.where(f > neg * 0.5, jnp.exp(f - fmax), 0.0)
-                        l0, l1 = rel(o0, o1)
-                        S0 = S0 + e
-                        S1_0 = S1_0 + e * l0
-                        S1_1 = S1_1 + e * l1
-                        S2_00 = S2_00 + e * l0 * l0
-                        S2_01 = S2_01 + e * l0 * l1
-                        S2_11 = S2_11 + e * l1 * l1
+                    f = f_of(o0, o1)
+                    e = jnp.where(f > neg * 0.5, jnp.exp(f - fmax), 0.0)
+                    l0, l1 = rel(o0, o1)
+                    S0 = S0 + e
+                    S1_0 = S1_0 + e * l0
+                    S1_1 = S1_1 + e * l1
+                    S2_00 = S2_00 + e * l0 * l0
+                    S2_01 = S2_01 + e * l0 * l1
+                    S2_11 = S2_11 + e * l1 * l1
                 Zs = jnp.maximum(S0, 1e-30)
                 r0 = S1_0 / Zs
                 r1 = S1_1 / Zs
