@@ -68,11 +68,16 @@ class ExplicitConfig:
     # max drift ≤ 1 cell between re-binnings: rebin_every ≤ 1/CFL.  Kills
     # the per-step argsort+permute (the profiled top cost at large Np).
     rebin_every: int = struct.field(pytree_node=False, default=1)
-    # pallas rebin mode: 'local' (end-of-step neighbour compaction on the
-    # slot layout, windowed.local_rebin — no sort, no gather; requires the
-    # slot invariant to hold at step start, i.e. drift ≤ 1 cell per step =
-    # CFL ≤ 1) or 'global' (argsort binning at step start, the round-1
-    # flow; required when tractions are passed or rebin_every > 1)
+    # pallas rebin mode:
+    #   'local'  — end-of-step neighbour compaction (windowed.local_rebin,
+    #       sort-free); with rebin_every = k > 1 the compaction fires every
+    #       k-th step and margin-1 kernels tolerate the ≤ 1 cell of drift
+    #       (requires particle speed ≤ c/(k·CFL); violations are counted
+    #       loudly in the 'lost' diagnostic)
+    #   'global' — argsort binning at step start (required with tractions)
+    #   'none'   — no in-step rebin at all: an external owner restores the
+    #       slot invariant (the halo-sharded drivers re-bin via
+    #       parallel/domain.migrate_local after each step)
     rebin_mode: str = struct.field(pytree_node=False, default="local")
     # block-partitioned grid strip (parallel/domain.HaloSpec); grid and
     # active_box are then the LOCAL templates and transfers halo-exchange
