@@ -33,6 +33,13 @@ def main(argv=None):
     ap.add_argument("--OPENMP-CORES", type=int, default=0,
                     help="(compat; ignored — use jax device meshes)")
     ap.add_argument(
+        "--Fracture-Modulus", dest="Fracture_Modulus", default=None,
+        metavar="Eigenerosion|Eigensoftening",
+        help="activate nonlocal fracture (reference --Fracture-Modulus, "
+        "driver-nl-partsol.c:133-143); requires fracture material params "
+        "(Ceps + Gf for Eigenerosion; Ceps/ft/heps/Wc for Eigensoftening)",
+    )
+    ap.add_argument(
         "--Print-Convergence", dest="Print_Convergence", action="store_true",
         help="per-step Newton/CG convergence monitor (reference __monitor, "
         "U-Newmark-beta.c:2076-2152)",
@@ -62,6 +69,14 @@ def main(argv=None):
         ap.error("provide -f sim.nlp or -ff static.nlp dynamic.nlp")
 
     formulation = args.formulation
+    fracture = None
+    if args.Fracture_Modulus is not None:
+        from .io.builder import normalize_fracture
+
+        try:
+            fracture = normalize_fracture(args.Fracture_Modulus)
+        except ValueError as e:
+            raise SystemExit(str(e))
 
     def _apply_formulation(setup):
         # CLI --FORMULATION-* overrides the .nlp-inferred formulation
@@ -70,6 +85,8 @@ def main(argv=None):
             if formulation == "upw" and setup.mixtures is None:
                 raise SystemExit("-upw needs a Define-Mixture block in the .nlp")
             setup.formulation = formulation
+        if fracture is not None:
+            setup.fracture = fracture
         return setup
 
     if args.two_stage:

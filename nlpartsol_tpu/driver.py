@@ -72,6 +72,39 @@ def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_b
         **shp_kw,
     )
     formulation = getattr(setup, "formulation", "u")
+    # --- nonlocal fracture activation (--Fracture-Modulus /
+    # Fracture-Modulus= deck key; reference driver-nl-partsol.c:133-143) ---
+    damage_kw = {}
+    fracture_ = getattr(setup, "fracture", None)
+    if fracture_ is not None:
+        from .models import fracture as frac_mod
+
+        if formulation_ != "u":
+            raise ValueError(
+                "Fracture-Modulus is wired into the displacement (-u) "
+                "formulations only (as in the reference: Driver_EigenErosion "
+                "hooks live in the U-* drivers)"
+            )
+        if setup.solver.scheme in DEM_SCHEMES:
+            raise ValueError(
+                "Discrete-Energy-Momentum has no fracture hooks; use the "
+                "explicit or Newmark-beta schemes"
+            )
+        if transfer == "scatter":
+            raise ValueError(
+                "fracture drivers need the slot-layout Beps sums: use "
+                "transfer='windowed' or 'pallas' on a structured grid"
+            )
+        ceps_max = float(np.max(np.asarray(setup.materials.Ceps)))
+        if ceps_max <= 0:
+            raise ValueError(
+                "Fracture-Modulus active but no material defines Ceps > 0 "
+                "(the Beps neighbourhood radius is Ceps*DeltaX, Beps.c:15-60)"
+            )
+        damage_kw = dict(
+            damage=fracture_, beps_reach=frac_mod.beps_reach(ceps_max)
+        )
+    common.update(damage_kw)
     if formulation == "up":
         from .formulations.up import UpConfig
 
@@ -112,7 +145,10 @@ def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_b
     if sp.scheme in EXPLICIT_SCHEMES:
         extra = {}
         if (transfer == "pallas" and sp.cfl <= 0.25 and not setup.neumann
-                and setup.grid.dim == 2):
+                and not damage_kw and setup.grid.dim == 2):
+            # (fracture keeps rebin_every=1: the Beps cell-offset sweep
+            # assumes particles sit in their slot cell — a 1-cell drift
+            # would truncate neighbourhoods at the static reach)
             # amortised sort-free rebin: at CFL <= 0.25 a particle cannot
             # cross > 1 cell in 4 steps unless it outruns the wave speed,
             # so margin-1 kernels + every-4th-step rebin are unconditionally
@@ -265,7 +301,8 @@ def run_simulation(
     if setup.gravity is not None:
         g_table = jnp.asarray(setup.gravity, config.dtype())
 
-    def scan_body(pp, i):
+    def scan_body(carry, i):
+        pp, _ = carry
         g = grid
         if have_dirichlet:
             ci = jnp.minimum(i, d_curves.shape[1] - 1)
@@ -301,11 +338,22 @@ def run_simulation(
                 out[f"react_{eidx}"] = (
                     r[ids] if r is not None else jnp.zeros((len(ev["ids"]), d))
                 )
-        return pp, out
+        # nodal reactions ride the CARRY (overwritten each step, so only the
+        # chunk-final value survives — no (steps, n_nodes, d) stacking); the
+        # chunk boundaries align with output events, so this is exactly the
+        # reactions field of the emitted step (nodal_results_vtk,
+        # WriteVtk.c / U-Verlet.c:1129)
+        react = diag.get("reactions")
+        if react is None:
+            react = jnp.zeros((n_nodes, d), config.dtype())
+        return (pp, react), out
 
     @jax.jit
     def scan_chunk(pp, idx):
-        return jax.lax.scan(scan_body, pp, idx)
+        (pp, react), out = jax.lax.scan(
+            scan_body, (pp, jnp.zeros((n_nodes, d), config.dtype())), idx
+        )
+        return pp, react, out
 
     def consume(i_first, out):
         lost = np.asarray(out["lost"])
@@ -380,7 +428,7 @@ def run_simulation(
                 continue
             idx = jnp.arange(i, b + 1)
             with stages("step_chunks"):
-                p, out = scan_chunk(p, idx)
+                p, react, out = scan_chunk(p, idx)
                 jax.block_until_ready(out["lost"])
             with stages("host_consume"):
                 consume(i, out)
@@ -397,6 +445,16 @@ def run_simulation(
                             else {}
                         ),
                     )
+                    # nodal mesh + reactions, emitted alongside the particle
+                    # cloud as the reference does (WriteVtk.c:53-100;
+                    # nodal_results_vtk call, U-Verlet.c:1129); structured
+                    # grids only — FEMesh backgrounds have no box layout
+                    if hasattr(grid, "dims"):
+                        vtk.write_grid_vtk(
+                            os.path.join(setup.out_dir, f"nodes_{last:06d}.vtk"),
+                            grid,
+                            point_data={"REACTIONS": np.asarray(react)},
+                        )
             for eidx, (ev, rec) in enumerate(zip(csv_events, recorders)):
                 due = (
                     ev["i_start"] <= last <= ev["i_end"]

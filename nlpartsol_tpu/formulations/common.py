@@ -36,6 +36,17 @@ def shapefun_eval(cfg, grid, p):
 
 
 def make_engine(cfg, grid, sf, offsets, mask):
+    if cfg.transfer == "pallas":
+        # Steps that dispatch to fused-Pallas kernels do so BEFORE calling
+        # make_engine (explicit/implicit _*_step_pallas); any step reaching
+        # here with 'pallas' has no fused path — falling through to the
+        # ScatterEngine would be silently WRONG under halo sharding (its
+        # psum over the grid axis would sum different local strips as if
+        # the grid were replicated).  Fail loudly instead.
+        raise ValueError(
+            f"{type(cfg).__name__} has no fused-pallas transfer path; use "
+            "transfer='windowed' (same physics, XLA slot-layout engine)"
+        )
     if cfg.transfer == "windowed":
         if cfg.active_box is None:
             raise ValueError("windowed transfer requires cfg.active_box")

@@ -96,6 +96,17 @@ class ImplicitConfig:
     # transfer backend: 'windowed' (needs active_box) or 'scatter'
     transfer: str = struct.field(pytree_node=False, default="scatter")
     active_box: windowed.ActiveBox = struct.field(pytree_node=False, default=None)
+    # nonlocal fracture driver: None | 'eigenerosion' | 'eigensoftening'.
+    # The reference's flagship implicit path recomputes damage inside every
+    # residual evaluation (compute_damage__Constitutive__ from
+    # __constitutive_update, U-Newmark-beta.c:1313-1318); here the scheme is
+    # STAGGERED: the Newton solve runs with damage frozen at d_n (so the
+    # tangent stays consistent and AD never differentiates the binary
+    # erosion switch), then ONE nonlocal Beps update fires at the converged
+    # state — the standard staggered treatment for nonlocal damage, one
+    # solve behind the reference's monolithic coupling.
+    damage: str = struct.field(pytree_node=False, default=None)
+    beps_reach: int = struct.field(pytree_node=False, default=1)
     # shard_map axis over which particles are sharded (grid replicated)
     axis_name: str = struct.field(pytree_node=False, default=None)
     # block-partitioned grid strip (parallel/domain.HaloSpec): grid and
@@ -302,6 +313,19 @@ def implicit_step(
     J_n1 = tn.det(F_n1)
     J_n1 = jnp.where(J_n1 > 0.0, J_n1, 0.0)
 
+    # staggered nonlocal damage update at the converged state (see
+    # ImplicitConfig.damage; reference hook U-Newmark-beta.c:1313-1318)
+    damage_n1 = p.damage
+    strain_f_n1 = p.strain_f
+    if cfg.damage is not None:
+        if cfg.transfer != "windowed":
+            raise ValueError("fracture drivers require windowed transfer")
+        from .explicit import _damage_update
+
+        dout = _damage_update(p, grid, cfg, mats, act, cs, J_n1, F_n1)
+        damage_n1 = dout.damage
+        strain_f_n1 = dout.strain_f
+
     # reactions: minus the unmasked residual at Dirichlet rows (the free-dof
     # residual is ~0 at convergence; Dirichlet rows carry the support force
     # — the reference reports these via the nodal VTK/CSV writers).  Sign
@@ -351,6 +375,8 @@ def implicit_step(
         kappa=cs.kappa,
         back_stress=cs.back_stress,
         W=cs.W,
+        damage=damage_n1,
+        strain_f=strain_f_n1,
         lme_lambda=sf["lam"] if sf["lam"] is not None else p.lme_lambda,
         lme_beta=(
             alme.update_beta(p.lme_beta, DF) if cfg.shapefun == "alme" else p.lme_beta
@@ -564,6 +590,18 @@ def _implicit_step_pallas(
     J_n1 = tn.det(F_n1)
     J_n1 = jnp.where(J_n1 > 0.0, J_n1, 0.0)
 
+    # staggered nonlocal damage update at the converged state (see
+    # ImplicitConfig.damage); the Beps slot-sums run on the same slot
+    # layout (+ seam particle halos when cfg.halo is set)
+    damage_n1 = p.damage
+    strain_f_n1 = p.strain_f
+    if cfg.damage is not None:
+        from .explicit import _damage_update
+
+        dout = _damage_update(p, grid, cfg, mats, act, cs, J_n1, F_n1)
+        damage_n1 = dout.damage
+        strain_f_n1 = dout.strain_f
+
     # reactions on Dirichlet rows = −(unmasked residual) at the converged
     # state; one extra fused G-scatter (same convention as the windowed path)
     if grid.dirichlet_mask is not None:
@@ -612,6 +650,8 @@ def _implicit_step_pallas(
         kappa=cs.kappa,
         back_stress=cs.back_stress,
         W=cs.W,
+        damage=damage_n1,
+        strain_f=strain_f_n1,
         lme_lambda=pt.from_channel_leading(lam_f),
     )
     if local_mode:

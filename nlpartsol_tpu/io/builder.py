@@ -115,6 +115,12 @@ class SimulationSetup:
     formulation: str = "u"
     mixtures: object = None  # formulations.upw.MixtureTable for -upw
     pw_dirichlet: list = field(default_factory=list)  # [(node_ids, curve)]
+    # nonlocal fracture driver: None | 'eigenerosion' | 'eigensoftening'
+    # (the reference's --Fracture-Modulus CLI switch /
+    # Driver_EigenErosion/Driver_EigenSoftening globals,
+    # driver-nl-partsol.c:133-143; also settable from the deck via
+    # `Fracture-Modulus=...` in the NLPS-Solver block)
+    fracture: Optional[str] = None
 
 
 def _mixtures(blocks):
@@ -466,6 +472,16 @@ def build_simulation(path: str) -> SimulationSetup:
             )
         )
 
+    # --- fracture activation (deck form of --Fracture-Modulus) ---
+    fracture = None
+    solver_block = find(blocks, "NLPS-Solver", "GramsTime")
+    if solver_block is not None:
+        fm = solver_block.props.get(
+            "Fracture-Modulus", solver_block.attrs.get("Fracture-Modulus")
+        )
+        if fm is not None:
+            fracture = normalize_fracture(str(fm))
+
     shp, shp_params = _shapefun(blocks)
     if unstructured and shp == "lme":
         # meshfree LME over the unstructured node cloud: attach the
@@ -509,4 +525,19 @@ def build_simulation(path: str) -> SimulationSetup:
         csv_events=csv_events,
         formulation=formulation,
         mixtures=mixtures,
+        fracture=fracture,
+    )
+
+
+def normalize_fracture(name: str) -> str:
+    """Map the reference's --Fracture-Modulus spellings to our damage-driver
+    keys, rejecting unknowns loudly (driver-nl-partsol.c:135-144)."""
+    key = name.strip().lower()
+    if key in ("eigenerosion", "eigen-erosion"):
+        return "eigenerosion"
+    if key in ("eigensoftening", "eigen-softening"):
+        return "eigensoftening"
+    raise ValueError(
+        f"Wrong input for Fracture-Modulus ({name!r}): use Eigenerosion or "
+        "Eigensoftening"
     )

@@ -27,7 +27,8 @@ Axis convention (2D): grid dims = (n0, n1), flat node = i0·n1 + i1.
 Kernel rows run over box axis 0; box axis 1 rides the 128-lane dimension.
 Slot arrays are capacity-major (ops/windowed.py) and passed channel-leading
 as (ch, C, n_cells); coordinate channel c is the position along grid axis c.
-2D only — 3D runs fall back to the XLA windowed engine.
+3D inputs dispatch to the lane-folded kernel bank of pallas_transfer3d.py
+(see fused_scatter/fused_gather below).
 """
 
 from __future__ import annotations

@@ -17,12 +17,9 @@ Axis mapping (grid dims (n0, n1, n2), box cdims (c0, c1, c2)):
   a static-slice XLA epilogue.
 
 The λ-Newton moment sweeps run statically unrolled over the RADIUS-CULLED
-offset list (343 → 179 at γ=3; offsets whose closest approach exceeds the
-support radius can never contribute).  (Historically they ran as
-``fori_loop`` over the K offsets (o
-decoded arithmetically) so kernel code size stays flat in K; only the
-single contraction sweep is unrolled (it must issue static roll shifts and
-bank stores).
+offset list (343 → 160 at γ=3, margin 0; offsets whose closest approach to
+any particle position in the slot cell exceeds the support radius can never
+contribute, so they are dropped at trace time — see _Geom3.trips).
 """
 
 from __future__ import annotations
@@ -81,7 +78,7 @@ class _Geom3:
         # radius culling (see pallas_transfer._Geom): offsets whose closest
         # approach to a particle (within ±(0.5+margin) cells of its slot
         # cell) exceeds the support radius can never contribute —
-        # 343 → 179 offsets at γ=3 margin 0, a ~1.9× cut of every basis
+        # 343 → 160 offsets at γ=3 margin 0, a ~2.1× cut of every basis
         # sweep (the 3D kernels are sweep-bound, PERF.md)
         # asymmetric closest approach: see pallas_transfer._Geom
         def _md(o):

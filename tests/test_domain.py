@@ -334,10 +334,12 @@ def test_halo_upw_parity():
     np.testing.assert_allclose(ff1, ff0, rtol=0, atol=1e-5)
 
 
-def test_halo_fracture_parity():
+@pytest.mark.parametrize("sharded_transfer", ["windowed", "pallas"])
+def test_halo_fracture_parity(sharded_transfer):
     """Sharded eigenerosion: Beps neighbourhood sums crossing shard seams
     must match the single-device run (particle halo via
-    domain.slot_plane_halo; VERDICT r2 #7)."""
+    domain.slot_plane_halo; VERDICT r2 #7), on BOTH sharded engines (the
+    fused-pallas halo path calls the same _damage_update)."""
     grid, p, mats0, h, cel = _problem(vx=0.3, E=1e4)
     mats = M.material_table(
         [M.material(kind="Neo-Hookean-Wriggers", E=1e4, nu=0.3, rho0=1000.0,
@@ -360,6 +362,7 @@ def test_halo_fracture_parity():
     dmg_ref = np.asarray(p_ref.damage)[np.asarray(p_ref.active)]
     assert dmg_ref.max() > 0.0, "no erosion fired - fracture halo untested"
 
+    cfg = cfg.replace(transfer=sharded_transfer)
     offs = lme.offsets_for(2, lp)
     dec = domain.decompose(grid, box, S, offs)
     mesh = domain.make_mesh(S)

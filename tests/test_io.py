@@ -170,8 +170,16 @@ def test_builder_and_driver(bar_case, tmp_path, monkeypatch):
     keN = hist["kinetic_energy"][-1] + hist["strain_energy"][-1]
     assert abs(keN - ke0) / ke0 < 0.1
     assert os.path.exists(setup.out_dir)
-    vtks = [f for f in os.listdir(setup.out_dir) if f.endswith(".vtk")]
-    assert len(vtks) == 2  # steps 0 and 10
+    vtks = sorted(f for f in os.listdir(setup.out_dir) if f.endswith(".vtk"))
+    # particle cloud AND nodal mesh per output step (WriteVtk.c writes both)
+    assert [f for f in vtks if f.startswith("particles_")] == [
+        "particles_000000.vtk", "particles_000010.vtk"
+    ]
+    assert [f for f in vtks if f.startswith("nodes_")] == [
+        "nodes_000000.vtk", "nodes_000010.vtk"
+    ]
+    ntxt = (tmp_path / setup.out_dir / "nodes_000010.vtk").read_text()
+    assert "REACTIONS" in ntxt and "DIMENSIONS 21 3 1" in ntxt
 
 
 def test_vtk_writer_roundtrip(tmp_path):
@@ -416,3 +424,81 @@ def test_csv_path_events(bar_case, tmp_path, monkeypatch):
     assert len(lines) == 1 + 3
     assert lines[0].startswith("t,p0.v")
     assert len(lines[1].split(",")) == 1 + 2 * (2 + 1)  # t + 2 pids × (v2, damage)
+
+
+@pytest.fixture
+def fracture_bar_case(tmp_path):
+    """Notched-bar analog: two halves pulled apart; eigenerosion must sever
+    the center (the reference flow: --Fracture-Modulus Eigenerosion with
+    Ceps/Gf material params, driver-nl-partsol.c:133-143)."""
+    write_gid_quad_mesh(tmp_path / "bg.msh", 24, 6, 0.05)
+    write_gid_quad_mesh(tmp_path / "body.msh", 16, 2, 0.05)
+    (tmp_path / "lefthalf.txt").write_text(
+        "\n".join(str(e) for e in range(0, 16) if (e // 2) < 4)
+    )
+    (tmp_path / "righthalf.txt").write_text(
+        "\n".join(str(e) for e in range(0, 16 * 2) if (e // 2) >= 12)
+    )
+    (tmp_path / "sim.nlp").write_text(textwrap.dedent("""
+    NLPS-Solver (Type=NPC-FS) {
+        CFL=0.2
+        Cel=100.0
+        N=60
+    }
+    GramsBox (Type=GID, File=bg.msh) {
+    }
+    GramsShapeFun (Type=LME) {
+        gamma=3.0
+    }
+    Define-Material (idx=0, Model=Neo-Hookean-Wriggers) {
+        E=1e6
+        nu=0.2
+        rho=1000
+        Ceps=1.5
+        Gf=0.08
+    }
+    One-Phase-Analysis (File=body.msh, GPxElement=4) {
+    }
+    GramsInitials (Nodes=lefthalf.txt) {
+        Value=[-1.0;0.0]
+    }
+    GramsInitials (Nodes=righthalf.txt) {
+        Value=[1.0;0.0]
+    }
+    GramsOutputs (i=20) {
+        DIR=out
+    }
+    """))
+    return tmp_path
+
+
+def test_cli_fracture_modulus(fracture_bar_case, monkeypatch):
+    """End-to-end fracture activation from the CLI (VERDICT r3 missing #1):
+    the eroded center must appear in the emitted VTK damage field."""
+    import re
+
+    from nlpartsol_tpu.cli import main
+
+    monkeypatch.chdir(fracture_bar_case)
+    rc = main([
+        "--FORMULATION-U", "-f", "sim.nlp",
+        "--Fracture-Modulus", "Eigenerosion", "--transfer", "windowed",
+    ])
+    assert rc == 0
+    vtks = sorted(os.listdir("out"))
+    last = [f for f in vtks if f.startswith("particles_")][-1]
+    txt = (fracture_bar_case / "out" / last).read_text()
+    m = re.search(r"SCALARS damage[^\n]*\nLOOKUP_TABLE default\n((?:[^A-Z]+\n)+)", txt)
+    assert m, "damage field missing from VTK output"
+    dmg = np.fromstring(m.group(1), sep=" ") if hasattr(np, "fromstring") else None
+    dmg = np.array([float(v) for v in m.group(1).split()])
+    assert dmg.max() == 1.0, "no particle eroded"
+    assert dmg.min() == 0.0, "everything eroded"
+
+
+def test_cli_fracture_modulus_rejects_unknown(fracture_bar_case, monkeypatch):
+    from nlpartsol_tpu.cli import main
+
+    monkeypatch.chdir(fracture_bar_case)
+    with pytest.raises(SystemExit, match="Eigenerosion or"):
+        main(["-f", "sim.nlp", "--Fracture-Modulus", "PhaseField"])

@@ -216,3 +216,21 @@ def test_upw_implicit_drained_pressure_decays():
     assert np.isfinite(final)
     assert peak is not None and peak > 0
     assert final < 0.8 * peak, f"pore pressure did not consolidate: {peak} -> {final}"
+
+
+def test_upw_pallas_transfer_rejected():
+    """The two-phase steps have no fused-pallas engine; transfer='pallas'
+    must fail loudly instead of silently falling through to a ScatterEngine
+    whose grid-axis psum would sum mismatched halo strips (VERDICT r3 weak
+    #3)."""
+    from nlpartsol_tpu.formulations.upw import UpwConfig
+    from nlpartsol_tpu.ops import windowed
+
+    grid, p, mats, mix, h, H = column_setup()
+    box = windowed.full_box(grid, capacity=8)
+    cfg = UpwConfig(
+        dt=1e-5, shapefun="lme", transfer="pallas", active_box=box,
+        kinds=(M.NEO_HOOKEAN,),
+    )
+    with pytest.raises(ValueError, match="no fused-pallas"):
+        upw_step(p, grid, mats, mix, cfg, jnp.zeros((2,), jnp.float32))
