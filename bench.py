@@ -68,6 +68,12 @@ def main():
     os.makedirs("/root/jaxcache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/root/jaxcache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    if os.environ.get("BENCH_CPU_DEVICES"):
+        # CPU smoke of the sharded leg: virtual device mesh (config updates,
+        # not env vars — the container sitecustomize pins JAX_PLATFORMS=axon
+        # before any env var of ours is seen)
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", int(os.environ["BENCH_CPU_DEVICES"]))
     import jax.numpy as jnp
 
     from nlpartsol_tpu.formulations.explicit import ExplicitConfig, explicit_step
@@ -107,6 +113,45 @@ def main():
         rebin_every=int(os.environ.get("BENCH_REBIN_EVERY", "16")),
     )
     body = jnp.zeros((2,), jnp.float32)
+
+    if os.environ.get("BENCH_SHARDED"):
+        # halo-sharded leg (BENCH_SHARDS devices, default 1): same fused
+        # kernels + k-periodic seam migration under shard_map — records the
+        # sharded-vs-unsharded overhead ON THE REAL CHIP at S=1 (VERDICT r3
+        # #1b); on multi-chip hardware BENCH_SHARDS picks up real devices
+        from nlpartsol_tpu.parallel import domain
+
+        S = int(os.environ.get("BENCH_SHARDS", "1"))
+        k = cfg.rebin_every
+        offs = lme.offsets_for(2, cfg.lme_params)
+        dec = domain.decompose(grid, box, S, offs, margin=1 if k > 1 else 0)
+        mesh = domain.make_mesh(S)
+        ps = domain.shard_particles(p, dec)
+        gs = domain.shard_grid(grid, dec)
+        steps = ((n_steps + k - 1) // k) * k
+        fn = jax.jit(domain.sharded_explicit_run(mesh, dec, cfg, steps))
+        # TWO warmups: the host-built shards carry SingleDeviceSharding but
+        # the run's outputs carry the mesh NamedSharding, so the first
+        # evolved-state call compiles a second executable — time only after
+        # both cache entries exist
+        p1, diag = fn(ps, gs, mats, body)
+        jax.block_until_ready(diag["nnz"])
+        p1, diag = fn(p1, gs, mats, body)
+        jax.block_until_ready(diag["nnz"])
+        t0 = time.perf_counter()
+        p2, diag = fn(p1, gs, mats, body)
+        jax.block_until_ready(diag["nnz"])
+        t1 = time.perf_counter()
+        total_nnz = int(np.asarray(diag["nnz"]).astype(np.int64).sum())
+        print(json.dumps({
+            "metric": "p2g_g2p_nnz_per_s_sharded",
+            "value": total_nnz / (t1 - t0),
+            "unit": "nnz/s",
+            "shards": S,
+            "lost": int(np.asarray(diag["lost"])),
+            "backend": jax.default_backend(),
+        }))
+        return
 
     from nlpartsol_tpu.formulations.explicit import to_slot_layout
 

@@ -393,8 +393,12 @@ def _explicit_step_pallas(
     vkw = dict(valid_lo=grid.valid_lo, valid_hi=grid.valid_hi)
     local_mode = cfg.rebin_mode == "local" and traction is None
     if cfg.rebin_mode == "none":
-        # slot invariant restored externally (sharded migration)
-        margin = 0
+        # slot invariant restored externally (sharded migration); with
+        # rebin_every = k > 1 the external migration fires every k-th step
+        # only, so the kernels carry the same 1-cell drift margin as the
+        # single-chip amortised path (the sharded halo is widened to match:
+        # parallel/domain.decompose(margin=1))
+        margin = 0 if cfg.rebin_every == 1 else 1
         lost = jnp.zeros((), jnp.int32)
         local_mode = False
     elif local_mode:

@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..shapefun import lme as lme_mod
 from ..types import Grid
+from .vma import kernel_strip, out_struct
 from . import windowed
 
 
@@ -366,8 +367,12 @@ def _make_scatter_kernel(g: _Geom, cN: int, has_G: bool, solve: bool,
                 _, _, done, it = state
                 return jnp.logical_not(done) & (it < mx)
 
+            # kernel_strip: raw ref reads carry {V:axis} that kernel-interior
+            # arithmetic does not propagate — level the carry type (vma.py)
             lam0, lam1, _, _ = jax.lax.while_loop(
-                cond, body, (lam0, lam1, jnp.asarray(False), jnp.int32(0))
+                cond, body,
+                (kernel_strip(lam0), kernel_strip(lam1), jnp.asarray(False),
+                 jnp.int32(0))
             )
         lam_out_ref[0, 0] = lam0
         lam_out_ref[0, 1] = lam1
@@ -584,9 +589,9 @@ def fused_scatter(
             pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((g.nprog, g.R, g.K1 * cout, g.c1p2), dt),
-            jax.ShapeDtypeStruct((g.nprog, 2, g.RC, g.c1p), dt),
-            jax.ShapeDtypeStruct((g.nprog, 8, 128), jnp.float32),
+            out_struct((g.nprog, g.R, g.K1 * cout, g.c1p2), dt, packed),
+            out_struct((g.nprog, 2, g.RC, g.c1p), dt, packed),
+            out_struct((g.nprog, 8, 128), jnp.float32, packed),
         ],
         interpret=not _on_tpu(),
     )(vb, _to_view(g, packed, cin))
@@ -768,8 +773,8 @@ def fused_gather(
         ],
         out_specs=[_slot_spec(g, max(cN, 1)), _slot_spec(g, 4)],
         out_shape=[
-            jax.ShapeDtypeStruct((g.nprog, max(cN, 1), g.RC, g.c1p), dt),
-            jax.ShapeDtypeStruct((g.nprog, 4, g.RC, g.c1p), dt),
+            out_struct((g.nprog, max(cN, 1), g.RC, g.c1p), dt, packed),
+            out_struct((g.nprog, 4, g.RC, g.c1p), dt, packed),
         ],
         scratch_shapes=[
             pltpu.VMEM((cg, 16, Wrow), dt),

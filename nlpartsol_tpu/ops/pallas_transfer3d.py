@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..shapefun import lme as lme_mod
 from ..types import Grid
+from .vma import kernel_strip, out_struct
 from . import windowed
 
 
@@ -284,9 +285,11 @@ def _make_scatter_kernel3(g: _Geom3, cN: int, has_G: bool, solve: bool,
             def cond(state):
                 return jnp.logical_not(state[3]) & (state[4] < mx)
 
+            # kernel_strip: see pallas_transfer.py / ops/vma.py
             lam0, lam1, lam2, _, _ = jax.lax.while_loop(
                 cond, body,
-                (lam0, lam1, lam2, jnp.asarray(False), jnp.int32(0)),
+                (kernel_strip(lam0), kernel_strip(lam1), kernel_strip(lam2),
+                 jnp.asarray(False), jnp.int32(0)),
             )
         lam_out_ref[0, 0] = lam0
         lam_out_ref[0, 1] = lam1
@@ -523,9 +526,9 @@ def fused_scatter3(
             pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((g.nprog, g.R, nb, g.c2p2), dt),
-            jax.ShapeDtypeStruct((g.nprog, 3, g.RC, g.c2p), dt),
-            jax.ShapeDtypeStruct((g.nprog, 8, 128), jnp.float32),
+            out_struct((g.nprog, g.R, nb, g.c2p2), dt, x_t),
+            out_struct((g.nprog, 3, g.RC, g.c2p), dt, x_t),
+            out_struct((g.nprog, 8, 128), jnp.float32, x_t),
         ],
         interpret=not _on_tpu(),
     )(vb, _to_view3(g, x_shift, 3), _to_view3(g, lam_t, 3), _to_view3(g, act_t, 1),
@@ -752,8 +755,8 @@ def fused_gather3(
         ],
         out_specs=[_slot_spec3(g, max(cN, 1)), _slot_spec3(g, 9)],
         out_shape=[
-            jax.ShapeDtypeStruct((g.nprog, max(cN, 1), g.RC, g.c2p), dt),
-            jax.ShapeDtypeStruct((g.nprog, 9, g.RC, g.c2p), dt),
+            out_struct((g.nprog, max(cN, 1), g.RC, g.c2p), dt, x_t),
+            out_struct((g.nprog, 9, g.RC, g.c2p), dt, x_t),
         ],
         scratch_shapes=[
             pltpu.VMEM((cg, 24, 16, W), dt),

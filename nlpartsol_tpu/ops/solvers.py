@@ -107,7 +107,9 @@ def pcg(
     _vdot = _make_vdot(axis_name)
     if M_inv is None:
         M_inv = lambda r: r
-    x = jnp.zeros_like(b) if x0 is None else x0
+    from .vma import vary_like
+
+    x = vary_like(jnp.zeros_like(b), b) if x0 is None else x0
 
     r = b - A(x)
     z = M_inv(r)
@@ -158,7 +160,9 @@ def bicgstab(
     _vdot = _make_vdot(axis_name)
     if M_inv is None:
         M_inv = lambda r: r
-    x = jnp.zeros_like(b) if x0 is None else x0
+    from .vma import vary_like
+
+    x = vary_like(jnp.zeros_like(b), b) if x0 is None else x0
 
     r = b - A(x)
     r_hat = r  # shadow residual
@@ -168,8 +172,8 @@ def bicgstab(
     rho = one
     alpha = one
     omega = one
-    v = jnp.zeros_like(b)
-    p = jnp.zeros_like(b)
+    v = vary_like(jnp.zeros_like(b), b)
+    p = vary_like(jnp.zeros_like(b), b)
 
     def _safe(x):
         return jnp.where(x == 0.0, jnp.finfo(b.dtype).tiny, x)
@@ -222,7 +226,9 @@ def gmres(
     _vdot = _make_vdot(axis_name)
     if M_inv is None:
         M_inv = lambda r: r
-    x = jnp.zeros_like(b) if x0 is None else x0
+    from .vma import vary_like
+
+    x = vary_like(jnp.zeros_like(b), b) if x0 is None else x0
     shape = b.shape
     n = b.size
     m = restart
@@ -337,6 +343,12 @@ def newton_krylov(
     _vdot = _make_vdot(axis_name)
 
     r0 = residual(x0)
+    # VMA typing (ops/vma.py): a literal x0 is unvarying but the Newton
+    # update derives from the device-varying residual — promote so the
+    # while_loop carry type is loop-invariant under shard_map
+    from .vma import vary_like
+
+    x0 = vary_like(x0, r0)
     r0_norm = jnp.sqrt(_vdot(r0, r0))
     threshold = tol * jnp.maximum(1.0, r0_norm)
     # Float32 noise floor: P2G reductions accumulate O(100s·eps) of relative

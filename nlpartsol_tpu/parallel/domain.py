@@ -164,6 +164,7 @@ class Decomp:
     local_grid: Grid  # template: dims/origin only (device frame)
     local_box: windowed.ActiveBox
     mig_capacity: int
+    margin: int = 0  # drift margin baked into the halo width (k-periodic)
 
     @property
     def n_local_nodes(self) -> int:
@@ -188,17 +189,23 @@ def decompose(
     offsets: np.ndarray,
     axis_name: str = GRID_AXIS,
     mig_capacity: int = None,
+    margin: int = 0,
 ) -> Decomp:
     """Build the 1-D decomposition of (grid, box) over ``n_shards`` devices.
 
     ``offsets`` is the shape-function window (K, d) — its axis-0 reach sets
-    the halo width.  Any ``box.cdims[0]`` works: the box is auto-padded
+    the halo width.  ``margin`` widens the halo by the drift tolerance of
+    k-periodic seam migration (rebin_every > 1): particles may sit up to
+    ``margin`` cells outside their slot cell between migrations, so their
+    margin-widened kernel windows reach ``margin`` extra node planes past
+    the seam.  Any ``box.cdims[0]`` works: the box is auto-padded
     with empty cell planes up to the next multiple of ``n_shards`` (the
     padding binds no particles and its node slices clamp to the grid).
     Slabs must still be at least one halo wide (nearest-neighbour-only
     exchange)."""
     offs0 = np.asarray(offsets)[:, 0]
-    wlo, whi = int(-offs0.min()), int(offs0.max())
+    wlo = int(-offs0.min()) + int(margin)
+    whi = int(offs0.max()) + int(margin)
     S = int(n_shards)
     if box.cdims[0] % S:
         pad = S - box.cdims[0] % S
@@ -236,6 +243,7 @@ def decompose(
         local_grid=local_grid,
         local_box=local_box,
         mig_capacity=int(mig_capacity),
+        margin=int(margin),
     )
 
 
@@ -585,7 +593,14 @@ def migrate_local(
 
 def make_mesh(n_devices: int = None, devices=None, axis_name: str = GRID_AXIS) -> Mesh:
     if devices is None:
-        devices = jax.devices()[: n_devices or len(jax.devices())]
+        avail = jax.devices()
+        want = n_devices or len(avail)
+        if want > len(avail):
+            raise ValueError(
+                f"make_mesh: {want} devices requested but only {len(avail)} "
+                f"available (CPU: set jax_num_cpu_devices before backend init)"
+            )
+        devices = avail[:want]
     return Mesh(np.array(devices), (axis_name,))
 
 
@@ -611,14 +626,37 @@ def _localize_cfg(cfg, decomp: Decomp):
 
 def sharded_explicit_run(mesh: Mesh, decomp: Decomp, cfg, n_steps: int):
     """jit-ready callable (p_stacked, grid_stacked, mats, body) →
-    (p_stacked', diag) running ``n_steps`` halo-sharded explicit steps with
-    end-of-step particle migration, under shard_map over the grid axis."""
+    (p_stacked', diag) running ``n_steps`` halo-sharded explicit steps,
+    under shard_map over the grid axis.
+
+    Seam migration is k-PERIODIC for the fused-pallas engine when
+    ``cfg.rebin_every = k > 1`` (the single-chip amortisation that took the
+    bench 490 → 924 M nnz/s, extended across seams): the kernels run with a
+    1-cell drift margin, the halo carries ``margin`` extra planes
+    (``decompose(margin=1)`` — enforced here), and :func:`migrate_local`
+    fires every k-th step only.  Drift > 1 cell between firings (particle
+    speed > c/(k·CFL)) is counted loudly in ``lost`` at the firing, exactly
+    like the single-chip path.  The windowed engine keeps per-step
+    migration (its static windows carry no drift margin)."""
     from jax import shard_map
 
     from ..formulations.explicit import explicit_step
 
     spec = decomp.spec
     cfgl = _localize_cfg(cfg, decomp)
+    k = getattr(cfgl, "rebin_every", 1) if cfgl.transfer == "pallas" else 1
+    if k > 1:
+        if decomp.margin < 1:
+            raise ValueError(
+                "k-periodic seam migration (rebin_every > 1) needs the "
+                "drift-widened halo: build the decomposition with "
+                "decompose(..., margin=1)"
+            )
+        if n_steps % k:
+            raise ValueError(
+                f"n_steps={n_steps} must be a multiple of rebin_every={k} "
+                "(the migration period tiles the scan)"
+            )
     pspec = P(spec.axis_name)
     rep = P()
 
@@ -627,23 +665,45 @@ def sharded_explicit_run(mesh: Mesh, decomp: Decomp, cfg, n_steps: int):
         mesh=mesh,
         in_specs=(pspec, pspec, rep, rep),
         out_specs=(pspec, rep),
-        check_vma=False,
+        check_vma=True,
     )
     def run(p, grid, mats, body):
-        def body_fn(carry, _):
+        def step_only(carry, _):
             pp, lost_acc = carry
             pp, diag = explicit_step(pp, grid, mats, cfgl, body)
-            pp, lost = migrate_local(pp, spec, grid, decomp.local_box)
-            lost = jax.lax.psum(lost, spec.axis_name)
-            return (pp, lost_acc + lost), (
+            return (pp, lost_acc), (
                 diag["kinetic_energy"],
                 diag["strain_energy"],
                 diag["nnz"],
             )
 
-        (p_out, lost), (ke, se, nnz) = jax.lax.scan(
-            body_fn, (p, jnp.zeros((), jnp.int32)), None, length=n_steps
-        )
+        def step_and_migrate(carry, _):
+            carry, out = step_only(carry, None)
+            pp, lost_acc = carry
+            pp, lost = migrate_local(pp, spec, grid, decomp.local_box)
+            lost = jax.lax.psum(lost, spec.axis_name)
+            return (pp, lost_acc + lost), out
+
+        if k > 1:
+            def outer(carry, _):
+                carry, o1 = jax.lax.scan(step_only, carry, None, length=k - 1)
+                carry, o2 = step_and_migrate(carry, None)
+                out = jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a, b[None]]), o1, o2
+                )
+                return carry, out
+
+            (p_out, lost), (ke, se, nnz) = jax.lax.scan(
+                outer, (p, jnp.zeros((), jnp.int32)), None, length=n_steps // k
+            )
+            ke, se, nnz = ke.reshape(-1), se.reshape(-1), nnz.reshape(-1)
+        else:
+            (p_out, lost), (ke, se, nnz) = jax.lax.scan(
+                step_and_migrate,
+                (p, jnp.zeros((), jnp.int32)),
+                None,
+                length=n_steps,
+            )
         return p_out, dict(
             kinetic_energy=ke, strain_energy=se, nnz=nnz, lost=lost
         )
@@ -670,7 +730,7 @@ def sharded_upw_run(mesh: Mesh, decomp: Decomp, cfg, mix, n_steps: int):
         mesh=mesh,
         in_specs=(pspec, pspec, rep, rep),
         out_specs=(pspec, rep),
-        check_vma=False,
+        check_vma=True,
     )
     def run(p, grid, mats, body):
         def body_fn(carry, _):
@@ -706,7 +766,7 @@ def sharded_implicit_run(mesh: Mesh, decomp: Decomp, cfg, n_steps: int):
         mesh=mesh,
         in_specs=(pspec, pspec, rep, rep),
         out_specs=(pspec, rep),
-        check_vma=False,
+        check_vma=True,
     )
     def run(p, grid, mats, body):
         def body_fn(carry, _):

@@ -70,7 +70,7 @@ def sharded_explicit(mesh: Mesh, cfg):
         mesh=mesh,
         in_specs=(pspec, rep, rep, rep),
         out_specs=(pspec, rep),
-        check_vma=False,
+        check_vma=True,
     )
     def step(p, grid, mats, body_accel):
         return explicit_step(p, grid, mats, cfg, body_accel)
@@ -97,7 +97,7 @@ def sharded_implicit(mesh: Mesh, cfg):
         mesh=mesh,
         in_specs=(pspec, rep, rep, rep),
         out_specs=(pspec, rep),
-        check_vma=False,
+        check_vma=True,
     )
     def step(p, grid, mats, body_accel):
         return implicit_step(p, grid, mats, cfg, body_accel)

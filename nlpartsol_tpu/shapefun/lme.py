@@ -160,7 +160,15 @@ def solve_lambda(
         lam, all_conv = step(lam)
         return (lam, all_conv, it + 1)
 
-    lam, _, _ = jax.lax.while_loop(cond, body, (lam0, jnp.asarray(False), jnp.asarray(0)))
+    from ..ops.vma import vary_like
+
+    # done/it enter with lam0's shard_map varying type: the body derives
+    # them from device-local λ, and VMA-checked lowering requires carry
+    # types to be loop-invariant (ops/vma.py; no collectives inside, so a
+    # device-varying trip count is legal SPMD)
+    init = (lam0, vary_like(jnp.asarray(False), lam0),
+            vary_like(jnp.asarray(0), lam0))
+    lam, _, _ = jax.lax.while_loop(cond, body, init)
     return lam
 
 

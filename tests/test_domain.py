@@ -447,3 +447,49 @@ def test_halo_3d_parity(sharded_transfer):
     np.testing.assert_allclose(x1, x0, rtol=0, atol=5e-5)
     np.testing.assert_allclose(v1, v0, rtol=0, atol=5e-4)
     np.testing.assert_allclose(J1, J0, rtol=0, atol=5e-5)
+
+
+def test_halo_explicit_parity_kperiodic_migration():
+    """k-periodic seam migration (VERDICT r3 #1): the sharded pallas engine
+    with rebin_every=4 + margin-1 halos must match the per-step-rebin
+    single-device run — migration fires every 4th step only."""
+    grid, p, mats, h, cel = _problem(n0=41, vx=0.5)
+    box = windowed.full_box(grid, capacity=2)
+    lp = lme.LMEParams(gamma=3.0)
+    dt = 0.3 * h / cel
+    n_steps = 40
+    cfg = ExplicitConfig(
+        dt=dt,
+        shapefun="lme",
+        lme_params=lp,
+        kinds=(M.NEO_HOOKEAN,),
+        transfer="windowed",
+        active_box=box,
+    )
+    p_ref = _single_device_run(grid, p, mats, cfg, n_steps)
+
+    cfg = cfg.replace(transfer="pallas", rebin_every=4)
+    offs = lme.offsets_for(2, lp)
+    with pytest.raises(ValueError, match="margin"):
+        # margin-less decomposition must be rejected for k > 1
+        domain.sharded_explicit_run(
+            domain.make_mesh(S), domain.decompose(grid, box, S, offs), cfg, 40
+        )
+    dec = domain.decompose(grid, box, S, offs, margin=1)
+    assert dec.spec.wlo == 4 and dec.margin == 1
+    mesh = domain.make_mesh(S)
+    ps = domain.shard_particles(p, dec)
+    gs = domain.shard_grid(grid, dec)
+    run = jax.jit(domain.sharded_explicit_run(mesh, dec, cfg, n_steps))
+    body = jnp.zeros((2,), jnp.float32)
+    p_out, diag = run(ps, gs, mats, body)
+    assert int(diag["lost"]) == 0
+    assert diag["nnz"].shape == (n_steps,)
+
+    p_back = domain.unshard_particles(p_out, dec)
+    pid0, x0, v0, J0 = _by_pid(p_ref)
+    pid1, x1, v1, J1 = _by_pid(p_back)
+    np.testing.assert_array_equal(pid0, pid1)
+    np.testing.assert_allclose(x1, x0, rtol=0, atol=5e-5)
+    np.testing.assert_allclose(v1, v0, rtol=0, atol=5e-4)
+    np.testing.assert_allclose(J1, J0, rtol=0, atol=5e-5)
