@@ -328,6 +328,11 @@ def run_simulation(
             strain_energy=diag.get("strain_energy", jnp.zeros(())),
             newton_iters=diag.get("newton_iters", jnp.zeros((), jnp.int32)),
             newton_residual=diag.get("newton_residual", jnp.zeros(())),
+            cg_iters=(
+                diag.get("cg_iters")
+                if diag.get("cg_iters") is not None
+                else jnp.zeros((), jnp.int32)
+            ),
             converged=diag.get("converged", jnp.ones((), bool)),
         )
         # nodal-path CSV events: gather reactions at the recorded node ids
@@ -378,6 +383,7 @@ def run_simulation(
                     print(
                         f"  [NR] step {i}: iters="
                         f"{int(out['newton_iters'][k])} "
+                        f"ksp={int(out['cg_iters'][k])} "
                         f"|R|={float(out['newton_residual'][k]):.6e} "
                         f"{'CONVERGED' if conv else 'DIVERGED'}",
                         flush=True,

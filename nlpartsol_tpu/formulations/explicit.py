@@ -439,6 +439,20 @@ def _explicit_step_pallas(
     lam_t = pt.to_channel_leading(p.lme_lambda, C, nc)
     act_t = pt.to_channel_leading(act.astype(p.x.dtype), C, nc)
 
+    # 3D: cache the kernel-layout views of the step-invariant arrays
+    # across the 4 transfer calls, and keep λ in view layout between them
+    # (the per-call relayouts were ~40 % of the traced 3D step; PERF.md)
+    tv = {}
+    lam_is_view = False
+    if d == 3 and (jax.default_backend() == "tpu" or pt.FORCE_INTERPRET):
+        from ..ops import pallas_transfer3d as pt3
+
+        xv, lamv, av = pt3.make_views3(
+            grid, box, cfg.lme_params, x_t, lam_t, act_t, margin
+        )
+        tv = dict(xv=xv, lamv=lamv, av=av)
+        lam_is_view = True
+
     # --- scatter #1 (solves λ): lumped mass + momentum increment [+ traction]
     d_dis_p = dt * p.v + 0.5 * dt * dt * p.a
     v_pred = p.v + (1.0 - gamma) * dt * p.a
@@ -448,8 +462,11 @@ def _explicit_step_pallas(
     fN = jnp.stack([pt.to_channel_leading(c, C, nc)[0] for c in chans])
     nodes1, lam_new, nnz = pt.fused_scatter(
         grid, box, cfg.lme_params, x_t, lam_t, act_t, fN, solve=True,
-        margin=margin, **vkw,
+        margin=margin, lam_view_out=lam_is_view, **tv, **vkw,
     )
+    if lam_is_view:
+        tv["lamv"] = lam_new
+        lam_new = lam_t  # placeholder; views carry the converged λ
     nodes1 = _xadd(nodes1)
     m_nodes = nodes1[:, 0]
     m_safe = jnp.maximum(m_nodes, cfg.mass_tol)[:, None]
@@ -463,7 +480,7 @@ def _explicit_step_pallas(
     d_dis_nodes_f = _fill(d_dis_nodes)
     d_dis_smooth, grad_du = pt.fused_gather(
         grid, box, cfg.lme_params, x_t, lam_new, act_t,
-        gN=d_dis_nodes_f, g_grad=d_dis_nodes_f, margin=margin, **vkw,
+        gN=d_dis_nodes_f, g_grad=d_dis_nodes_f, margin=margin, **tv, **vkw,
     )
     DF = grad_du + jnp.eye(d, dtype=grad_du.dtype)
     F_n1 = tn.bmm(DF, p.F)
@@ -509,7 +526,7 @@ def _explicit_step_pallas(
     dummy = pt.to_channel_leading(jnp.zeros_like(p.mass), C, nc)
     nodes2, _, _ = pt.fused_scatter(
         grid, box, cfg.lme_params, x_t, lam_new, act_t, dummy, G_t=G_t,
-        solve=False, margin=margin, **vkw,
+        solve=False, margin=margin, **tv, **vkw,
     )
     nodes2 = _xadd(nodes2)
     forces = nodes2[:, 1 : 1 + d]
@@ -526,7 +543,7 @@ def _explicit_step_pallas(
     # --- gather #2: accelerations ---
     a_p, _ = pt.fused_gather(
         grid, box, cfg.lme_params, x_t, lam_new, act_t, gN=_fill(accel_nodes),
-        margin=margin, **vkw,
+        margin=margin, **tv, **vkw,
     )
     v_new = v_pred + gamma * dt * a_p
     x_new = p.x + d_dis_smooth
@@ -552,7 +569,11 @@ def _explicit_step_pallas(
         W=cs.W,
         damage=damage_n1,
         strain_f=strain_f_n1,
-        lme_lambda=pt.from_channel_leading(lam_new),
+        lme_lambda=pt.from_channel_leading(
+            pt3.lam_from_view3(grid, box, cfg.lme_params, tv["lamv"], margin)
+            if lam_is_view
+            else lam_new
+        ),
     )
     ke = 0.5 * jnp.sum(p.mass[:, None] * v_new * v_new, where=act[:, None])
     se = jnp.sum(cs.W * p.vol0, where=act)

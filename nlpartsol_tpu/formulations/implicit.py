@@ -93,6 +93,9 @@ class ImplicitConfig:
     # inner linear solver: 'cg' | 'bicgstab' | 'gmres' | 'dense' (direct LU
     # fallback, ops/solvers.dense_lu — the reference's dgetrs path)
     linear: str = struct.field(pytree_node=False, default="cg")
+    # inner-tolerance forcing: 'ew' (Eisenstat-Walker, default) | 'fixed'
+    # (every solve to cg_tol — the reference's fixed-tol KSP behaviour)
+    forcing: str = struct.field(pytree_node=False, default="ew")
     # transfer backend: 'windowed' (needs active_box) or 'scatter'
     transfer: str = struct.field(pytree_node=False, default="scatter")
     active_box: windowed.ActiveBox = struct.field(pytree_node=False, default=None)
@@ -299,6 +302,7 @@ def implicit_step(
         cg_tol=cfg.cg_tol,
         cg_maxiter=cfg.cg_maxiter,
         linear=cfg.linear,
+        forcing=cfg.forcing,
         # grid-partitioned vectors (halo sharding): psum all dots/norms
         axis_name=cfg.halo.axis_name if cfg.halo is not None else None,
     )
@@ -390,6 +394,7 @@ def implicit_step(
         nnz=nnz,
         newton_iters=res.iters,
         newton_residual=res.residual_norm,
+        cg_iters=res.linear_iters,
         converged=res.converged,
         lost=lost,
         reactions=reactions,
@@ -578,6 +583,7 @@ def _implicit_step_pallas(
         cg_tol=cfg.cg_tol,
         cg_maxiter=cfg.cg_maxiter,
         linear=cfg.linear,
+        forcing=cfg.forcing,
         axis_name=halo.axis_name if halo is not None else None,
     )
     dU = jnp.where(free, res.x, dU_dirichlet)
@@ -663,6 +669,7 @@ def _implicit_step_pallas(
         nnz=nnz,
         newton_iters=res.iters,
         newton_residual=res.residual_norm,
+        cg_iters=res.linear_iters,
         converged=res.converged,
         lost=lost,
         reactions=reactions,

@@ -541,12 +541,17 @@ def fused_scatter(
     gnorm: bool = False,
     valid_lo=None,
     valid_hi=None,
+    xv=None,
+    lamv=None,
+    av=None,
+    lam_view_out: bool = False,
 ):
     """Fused LME+P2G.  Returns (nodes (n_nodes, cout), lam (d, C, nc));
     cout = cN (+d when G_t given, the Σ G·∇N vector appended; +1 when
     ``gnorm``: Σ s·|∇N|² with s = the LAST fN channel — the Jacobi
     stiffness diagonal of the implicit path).  3D grids dispatch to the
-    H8-window kernels in ops/pallas_transfer3d.py."""
+    H8-window kernels in ops/pallas_transfer3d.py; xv/lamv/av/lam_view_out
+    are the 3D per-step view cache (pallas_transfer3d.make_views3)."""
     if grid.dim == 3:
         from . import pallas_transfer3d as pt3
 
@@ -555,7 +560,9 @@ def fused_scatter(
             grid, box, params, x_t, lam_t, act_t, fN_t, G_t=G_t,
             solve=solve, margin=margin, gnorm=gnorm,
             valid_lo=valid_lo, valid_hi=valid_hi,
+            xv=xv, lamv=lamv, av=av, lam_view_out=lam_view_out,
         )
+    assert xv is None and lamv is None and av is None and not lam_view_out
     if not _on_tpu() and not FORCE_INTERPRET:
         return _scatter_xla(
             grid, box, params, x_t, lam_t, act_t, fN_t, G_t, solve, margin,
@@ -711,9 +718,13 @@ def fused_gather(
     margin: int = 0,
     valid_lo=None,
     valid_hi=None,
+    xv=None,
+    lamv=None,
+    av=None,
 ):
     """Fused LME+G2P.  Returns (outN (Ns, cN) | None, grad (Ns, d, d) | None)
-    where grad[s, i, j] = Σ_A g_grad[A, i]·∂N_A/∂x_j."""
+    where grad[s, i, j] = Σ_A g_grad[A, i]·∂N_A/∂x_j.  xv/lamv/av: 3D
+    per-step view cache (pallas_transfer3d.make_views3)."""
     if grid.dim == 3:
         from . import pallas_transfer3d as pt3
 
@@ -721,7 +732,9 @@ def fused_gather(
         return pt3.fused_gather3(
             grid, box, params, x_t, lam_t, act_t, gN=gN, g_grad=g_grad,
             margin=margin, valid_lo=valid_lo, valid_hi=valid_hi,
+            xv=xv, lamv=lamv, av=av,
         )
+    assert xv is None and lamv is None and av is None
     if not _on_tpu() and not FORCE_INTERPRET:
         return _gather_xla(grid, box, params, x_t, lam_t, act_t, gN, g_grad,
                            margin, valid_lo=valid_lo, valid_hi=valid_hi)

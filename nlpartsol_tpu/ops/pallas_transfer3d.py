@@ -473,6 +473,28 @@ def _gather_xla3(grid, box, params, x_t, lam_t, act_t, gN, g_grad, margin,
 FORCE_INTERPRET = False
 
 
+def make_views3(grid, box, params, x_t, lam_t, act_t, margin=0):
+    """Kernel-layout views of the per-step-invariant slot arrays
+    (positions origin-shifted, λ warm start, active mask) — compute ONCE
+    per step and pass to every fused_scatter3/fused_gather3 call via
+    xv/lamv/av."""
+    g = _Geom3(grid, box, params, margin)
+    dt = x_t.dtype
+    org = jnp.asarray(grid.origin, dt)
+    return (
+        _to_view3(g, x_t - org[:, None, None], 3),
+        _to_view3(g, lam_t, 3),
+        _to_view3(g, act_t, 1),
+    )
+
+
+def lam_from_view3(grid, box, params, lamv, margin=0):
+    """Convert a view-layout λ (fused_scatter3 lam_view_out=True) back to
+    the (3, C, nc) slot layout."""
+    g = _Geom3(grid, box, params, margin)
+    return _from_view3(g, lamv, 3)
+
+
 def fused_scatter3(
     grid: Grid,
     box: windowed.ActiveBox,
@@ -487,10 +509,21 @@ def fused_scatter3(
     gnorm: bool = False,
     valid_lo=None,
     valid_hi=None,
+    xv=None,
+    lamv=None,
+    av=None,
+    lam_view_out: bool = False,
 ):
     """Fused 3D LME+P2G.  Returns (nodes (n_nodes, cout), lam (3, C, nc),
-    nnz); cout = cN (+3 when G_t given; +1 when gnorm)."""
+    nnz); cout = cN (+3 when G_t given; +1 when gnorm).
+
+    ``xv``/``lamv``/``av``: kernel-layout views from :func:`make_views3`
+    (cached across the step's transfer calls — the per-call relayouts
+    were ~40 % of the traced 3D step).  ``lam_view_out`` keeps the solved
+    λ in view layout (feed back via ``lamv``; convert once at step end
+    with :func:`lam_from_view3`)."""
     if not _on_tpu() and not FORCE_INTERPRET:
+        assert xv is None and lamv is None and av is None
         return _scatter_xla3(
             grid, box, params, x_t, lam_t, act_t, fN_t, G_t, solve, margin,
             gnorm, valid_lo=valid_lo, valid_hi=valid_hi,
@@ -500,10 +533,6 @@ def fused_scatter3(
     has_G = G_t is not None
     cout = cN + (3 if has_G else 0) + (1 if gnorm else 0)
     dt = x_t.dtype
-    org = jnp.asarray(grid.origin, dt)
-    x_shift = x_t - org[:, None, None]
-    if not has_G:
-        G_t = jnp.zeros((9, g.C, g.nc), dt)
 
     from .pallas_transfer import _valid_bounds, _vb_spec
 
@@ -511,6 +540,21 @@ def fused_scatter3(
         n0 = g.n0
 
     vb = _valid_bounds(_GB, valid_lo, valid_hi)
+    if xv is None:
+        org = jnp.asarray(grid.origin, dt)
+        xv = _to_view3(g, x_t - org[:, None, None], 3)
+    if lamv is None:
+        lamv = _to_view3(g, lam_t, 3)
+    if av is None:
+        av = _to_view3(g, act_t, 1)
+    fNv = _to_view3(g, fN_t, cN)
+    # zero G: build the zero VIEW directly (27 MB of relayouted zeros
+    # otherwise)
+    Gv = (
+        _to_view3(g, G_t, 9)
+        if has_G
+        else jnp.zeros((g.nprog, 9, g.RC, g.c2p), dt)
+    )
     kernel = _make_scatter_kernel3(g, cN, has_G, solve, gnorm)
     nb = g.K1 * g.K1 * cout
     out, lam_new, cnt = pl.pallas_call(
@@ -531,33 +575,54 @@ def fused_scatter3(
             out_struct((g.nprog, 8, 128), jnp.float32, x_t),
         ],
         interpret=not _on_tpu(),
-    )(vb, _to_view3(g, x_shift, 3), _to_view3(g, lam_t, 3), _to_view3(g, act_t, 1),
-      _to_view3(g, fN_t, cN), _to_view3(g, G_t, 9))
+    )(vb, xv, lamv, av, fNv, Gv)
 
     # XLA epilogue: K1² (o0, o1) banks; lane axis already o2-folded.
+    # Hierarchical DENSE pad+add folds instead of per-bank interior
+    # .at[].add: the 49 dynamic-update-slices cost 28 ms/step at 96³
+    # (traced round 4 — 75% of the whole step was XLA glue), while equal-
+    # shape adds of zero-padded strips are plain bandwidth.
     W2 = min(g.c2 + 2 * g.w, g.c2p2)
     part = (
         out.reshape(g.c0, g.nprog1, g.R, g.K1 * g.K1, cout, g.c2p2)
         .reshape(g.c0, g.c1p, g.K1 * g.K1, cout, g.c2p2)[:, : g.c1, :, :, :W2]
+        .reshape(g.c0, g.c1, g.K1, g.K1, cout, W2)
     )
+    # overlap-add folds as ONE-HOT MATMULS (q = b + k diagonal sums): a
+    # static 0/1 matrix contraction rides the MXU at full bandwidth where
+    # both per-bank interior .at[].add (49 dynamic-update-slices, 28 ms)
+    # and zero-pad sums (7+7 materialised pads, worse) crawl
+    def fold_mat(n, K1):
+        q = np.arange(n + 2 * g.w)[:, None]
+        b = np.arange(n)[None, :, None]
+        k = np.arange(K1)[None, None, :]
+        return jnp.asarray(
+            (q[..., None] == (b + k)).reshape(n + 2 * g.w, n * K1), dt
+        )
+
+    # fold o1: (c0, c1, K1₀, K1₁, cout, W2) → (c1+2w, c0, K1₀, cout, W2)
+    t1 = part.transpose(1, 3, 0, 2, 4, 5).reshape(g.c1 * g.K1, -1)
+    f1 = (fold_mat(g.c1, g.K1) @ t1).reshape(
+        g.c1 + 2 * g.w, g.c0, g.K1, cout, W2
+    )
+    # fold o0: → (c0+2w, c1+2w, cout, W2)
+    t0 = f1.transpose(1, 2, 0, 3, 4).reshape(g.c0 * g.K1, -1)
+    acc0 = (fold_mat(g.c0, g.K1) @ t0).reshape(
+        g.c0 + 2 * g.w, g.c1 + 2 * g.w, cout, W2
+    )
+    # embed once into the global node box (single static-slice add per axis
+    # clip; plane/row/lane origins: box offset − w)
     nodes = jnp.zeros((g.n0, g.n1, g.n2, cout), dt)
-    cb = g.o2b - g.w
+    b0, b1, cb = g.o0b - g.w, g.o1b - g.w, g.o2b - g.w
+    l0, h0 = max(0, -b0), min(g.c0 + 2 * g.w, g.n0 - b0)
+    l1, h1 = max(0, -b1), min(g.c1 + 2 * g.w, g.n1 - b1)
     clo, chi = max(0, -cb), min(W2, g.n2 - cb)
-    for k0, o0 in enumerate(_offs(g.w)):
-        r0 = g.o0b + o0
-        p0lo, p0hi = max(0, -r0), min(g.c0, g.n0 - r0)
-        for k1, o1 in enumerate(_offs(g.w)):
-            r1 = g.o1b + o1
-            p1lo, p1hi = max(0, -r1), min(g.c1, g.n1 - r1)
-            if p0hi > p0lo and p1hi > p1lo and chi > clo:
-                strip = part[p0lo:p0hi, p1lo:p1hi, k0 * g.K1 + k1, :, clo:chi]
-                nodes = nodes.at[
-                    r0 + p0lo : r0 + p0hi,
-                    r1 + p1lo : r1 + p1hi,
-                    cb + clo : cb + chi,
-                    :,
-                ].add(jnp.moveaxis(strip, 2, 3))
-    lam_new = _from_view3(g, lam_new, 3)
+    if h0 > l0 and h1 > l1 and chi > clo:
+        nodes = nodes.at[
+            b0 + l0 : b0 + h0, b1 + l1 : b1 + h1, cb + clo : cb + chi, :
+        ].set(jnp.moveaxis(acc0[l0:h0, l1:h1, :, clo:chi], 2, 3))
+    if not lam_view_out:
+        lam_new = _from_view3(g, lam_new, 3)
     return (
         nodes.reshape(g.n0 * g.n1 * g.n2, cout),
         lam_new,
@@ -688,10 +753,14 @@ def fused_gather3(
     margin: int = 0,
     valid_lo=None,
     valid_hi=None,
+    xv=None,
+    lamv=None,
+    av=None,
 ):
     """Fused 3D LME+G2P.  Returns (outN (Ns, cN) | None,
-    grad (Ns, 3, 3) | None)."""
+    grad (Ns, 3, 3) | None).  ``xv``/``lamv``/``av``: see fused_scatter3."""
     if not _on_tpu() and not FORCE_INTERPRET:
+        assert xv is None and lamv is None and av is None
         return _gather_xla3(grid, box, params, x_t, lam_t, act_t, gN, g_grad,
                             margin, valid_lo=valid_lo, valid_hi=valid_hi)
     g = _Geom3(grid, box, params, margin)
@@ -726,8 +795,13 @@ def fused_gather3(
     gpad = jnp.moveaxis(gpad, 3, 0)  # (cg, planes, rows, W)
     a8 = a // 8
 
-    org = jnp.asarray(grid.origin, dt)
-    x_shift = x_t - org[:, None, None]
+    if xv is None:
+        org = jnp.asarray(grid.origin, dt)
+        xv = _to_view3(g, x_t - org[:, None, None], 3)
+    if lamv is None:
+        lamv = _to_view3(g, lam_t, 3)
+    if av is None:
+        av = _to_view3(g, act_t, 1)
 
     def blk_spec(sp, sr):
         return pl.BlockSpec(
@@ -762,8 +836,7 @@ def fused_gather3(
             pltpu.VMEM((cg, 24, 16, W), dt),
         ],
         interpret=not _on_tpu(),
-    )(vb, _to_view3(g, x_shift, 3), _to_view3(g, lam_t, 3), _to_view3(g, act_t, 1),
-      gpad, gpad, gpad, gpad, gpad, gpad)
+    )(vb, xv, lamv, av, gpad, gpad, gpad, gpad, gpad, gpad)
 
     ns = g.C * g.nc
     outN_r = (

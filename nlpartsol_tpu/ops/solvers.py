@@ -316,6 +316,7 @@ class NewtonResult(NamedTuple):
     iters: jax.Array
     residual_norm: jax.Array
     converged: jax.Array
+    linear_iters: jax.Array = None  # total inner (CG/Krylov) iterations
 
 
 def newton_krylov(
@@ -328,6 +329,7 @@ def newton_krylov(
     cg_maxiter: int = 100,
     linear: str = "cg",
     axis_name: Optional[str] = None,
+    forcing: str = "ew",
 ) -> NewtonResult:
     """Newton's method with matrix-free Jacobian-vector products.
 
@@ -339,6 +341,19 @@ def newton_krylov(
     Convergence: ||R|| <= tol * max(1, ||R_0||)  (the reference's SNES rtol
     semantics, U-Newmark-beta.c:336-343).  ``axis_name``: grid-partitioned
     vectors over that shard_map axis (all norms/dots psum-reduced).
+
+    ``forcing``: inner-solve tolerance strategy.
+      * ``'ew'`` (default) — Eisenstat–Walker choice 2: the k-th linear
+        solve runs to η_k = 0.9·(‖R_k‖/‖R_{k-1}‖)², safeguarded by
+        η ≥ 0.9·η_{k-1}² while that exceeds 0.1 and clipped to
+        [cg_tol, 0.5].  Early Newton iterations stop the Krylov solve as
+        soon as it can't improve the *nonlinear* residual — the classic
+        inexact-Newton economy the reference's fixed-tol PCJACOBI KSP
+        (U-Newmark-beta.c:326-335) leaves on the table.
+      * ``'fixed'`` — every inner solve runs to ``cg_tol`` (the reference
+        KSP behaviour).
+    Diagnostics: ``linear_iters`` totals the inner iterations across the
+    Newton loop (the per-step `KSP iterations` count of --Print-Convergence).
     """
     _vdot = _make_vdot(axis_name)
 
@@ -356,34 +371,36 @@ def newton_krylov(
     # Newton iterations run (the reference's 1e-5 TOL assumes f64).  Detect
     # stagnation and accept if the residual dropped by >100x.
     eps = jnp.finfo(r0.dtype).eps
+    eta0 = jnp.asarray(0.1 if forcing == "ew" else cg_tol, r0.dtype)
 
     def cond(state):
-        x, r, rnorm, best, stall_count, it = state
+        x, r, rnorm, best, stall_count, it, lin, eta, rprev = state
         return (rnorm > threshold) & (it < maxiter) & (stall_count < 3)
 
     def body(state):
-        x, r, rnorm, best, stall_count, it = state
+        x, r, rnorm, best, stall_count, it, lin, eta, rprev = state
 
         def Jv(v):
             return jax.jvp(residual, (x,), (v,))[1]
 
         if linear == "dense":
-            dx = dense_lu(Jv, -r).x
+            res_lin = dense_lu(Jv, -r)
         elif linear == "bicgstab":
-            dx = bicgstab(
-                Jv, -r, M_inv=M_inv, tol=cg_tol, maxiter=cg_maxiter,
+            res_lin = bicgstab(
+                Jv, -r, M_inv=M_inv, tol=eta, maxiter=cg_maxiter,
                 axis_name=axis_name,
-            ).x
+            )
         elif linear == "gmres":
-            dx = gmres(
-                Jv, -r, M_inv=M_inv, tol=cg_tol,
+            res_lin = gmres(
+                Jv, -r, M_inv=M_inv, tol=eta,
                 max_cycles=max(1, cg_maxiter // 20), axis_name=axis_name,
-            ).x
+            )
         else:
-            dx = pcg(
-                Jv, -r, M_inv=M_inv, tol=cg_tol, maxiter=cg_maxiter,
+            res_lin = pcg(
+                Jv, -r, M_inv=M_inv, tol=eta, maxiter=cg_maxiter,
                 axis_name=axis_name,
-            ).x
+            )
+        dx = res_lin.x
 
         # Backtracking line search (the reference's SNESNEWTONLS,
         # U-Newmark-beta.c:281): evaluate a fixed candidate set and keep the
@@ -401,12 +418,27 @@ def newton_krylov(
         improved = rnorm_new < 0.5 * best
         stall_count = jnp.where(improved, 0, stall_count + 1)
         best = jnp.minimum(best, rnorm_new)
-        return (x_new, r_new, rnorm_new, best, stall_count, it + 1)
+        if forcing == "ew":
+            # Eisenstat–Walker choice 2 (γ=0.9, α=2) with the η_{k-1}²
+            # oscillation safeguard, clipped to [cg_tol, 0.5]
+            eta_cand = 0.9 * (rnorm_new / jnp.maximum(rnorm, 1e-30)) ** 2
+            guard = 0.9 * eta * eta
+            eta_cand = jnp.where(guard > 0.1, jnp.maximum(eta_cand, guard), eta_cand)
+            eta_new = jnp.clip(eta_cand, cg_tol, 0.5)
+        else:
+            eta_new = eta
+        return (x_new, r_new, rnorm_new, best, stall_count, it + 1,
+                lin + res_lin.iters, eta_new, rnorm)
 
-    x, r, rnorm, best, stall_count, it = jax.lax.while_loop(
-        cond, body, (x0, r0, r0_norm, r0_norm, jnp.array(0), jnp.array(0))
+    x, r, rnorm, best, stall_count, it, lin, _, _ = jax.lax.while_loop(
+        cond, body,
+        (x0, r0, r0_norm, r0_norm, jnp.array(0), jnp.array(0), jnp.array(0),
+         eta0, r0_norm),
     )
     converged = (rnorm <= threshold) | (
         (stall_count >= 3) & (rnorm <= 1e-2 * r0_norm)
     )
-    return NewtonResult(x=x, iters=it, residual_norm=rnorm, converged=converged)
+    return NewtonResult(
+        x=x, iters=it, residual_norm=rnorm, converged=converged,
+        linear_iters=lin,
+    )

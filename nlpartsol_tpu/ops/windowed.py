@@ -306,7 +306,14 @@ def local_rebin(p: Particles, grid: Grid, box: ActiveBox, in_capacity: int = Non
     cdims = box.cdims
     nd = len(cdims)
     nc = box.n_cells
-    bigT, specs, treedef = flatten_soa_T(p)  # (CH, Cin*nc) channel-major
+    # SoA marshalling (round-4 traced at 96³): the row-major column-concat
+    # of flatten_soa costs 6.4 ms (strided single-lane column writes);
+    # per-leaf takes are worse (4-byte-row gathers, element-serial,
+    # ~110 ms); channel-major lane-gathers equally serial.  Fastest:
+    # contiguous channel-major concat + ONE tiled transpose each way,
+    # with the move itself a single 224-byte-row gather.
+    bigT, specs, treedef = flatten_soa_T(p)  # (CH, Cin*nc): contiguous concat
+    big = bigT.T  # (Cin*nc, CH) via XLA tiled transpose
     x_c = p.x.reshape((Cin,) + cdims + (p.dim,))
     act_c = p.active.reshape((Cin,) + cdims)
 
@@ -369,8 +376,8 @@ def local_rebin(p: Particles, grid: Grid, box: ActiveBox, in_capacity: int = Non
     inv_flat = inv.reshape(-1)
     valid_row = inv_flat < Cin * nc
     safe = jnp.minimum(inv_flat, Cin * nc - 1)
-    outT = jnp.where(valid_row[None, :], bigT[:, safe], 0.0)
-    p_new = unflatten_soa_T(outT, specs, treedef)
+    out = jnp.where(valid_row[:, None], big[safe], 0.0)
+    p_new = unflatten_soa_T(out.T, specs, treedef)
     placed = jnp.sum(keep.astype(jnp.int32))
     lost = jnp.sum(act_c.astype(jnp.int32)) - placed
     return p_new, lost

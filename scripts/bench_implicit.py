@@ -55,19 +55,20 @@ def main():
             active_box=box,
             cg_maxiter=60,
             newton_maxiter=10,
+            forcing=os.environ.get("BENCH_FORCING", "ew"),
         )
 
         def many(pp):
             def bd(c, _):
                 c, dg = implicit_step(c, grid, mats, cfg, body)
-                return c, (dg["nnz"], dg["newton_iters"], dg["converged"])
+                return c, (dg["nnz"], dg["newton_iters"], dg["cg_iters"], dg["converged"])
             return jax.lax.scan(bd, pp, None, length=n_steps)
 
         fn = jax.jit(many)
         pf, aux = fn(p)
         pf.x.block_until_ready()
         t0 = time.perf_counter()
-        pf, (nnz, iters, conv) = fn(p)
+        pf, (nnz, iters, ksp, conv) = fn(p)
         pf.x.block_until_ready()
         t1 = time.perf_counter()
         step_ms = (t1 - t0) / n_steps * 1e3
@@ -76,11 +77,13 @@ def main():
             step_ms=step_ms,
             nnz_per_s=nnzs,
             newton_iters=np.asarray(iters).tolist(),
+            cg_iters=np.asarray(ksp).tolist(),
             converged=bool(np.asarray(conv).all()),
         )
         print(json.dumps({"metric": f"implicit_newmark_step_time_{transfer}",
                           "value": step_ms, "unit": "ms",
                           "newton_iters": np.asarray(iters).tolist(),
+                          "cg_iters": np.asarray(ksp).tolist(),
                           "converged": results[transfer]["converged"]}),
               flush=True)
     return results
