@@ -144,17 +144,21 @@ def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_b
         )
     if sp.scheme in EXPLICIT_SCHEMES:
         extra = {}
-        if (transfer == "pallas" and sp.cfl <= 0.25 and not setup.neumann
+        if (transfer == "pallas" and not setup.neumann
                 and not damage_kw and setup.grid.dim == 2):
             # (fracture keeps rebin_every=1: the Beps cell-offset sweep
             # assumes particles sit in their slot cell — a 1-cell drift
             # would truncate neighbourhoods at the static reach)
-            # amortised sort-free rebin: at CFL <= 0.25 a particle cannot
-            # cross > 1 cell in 4 steps unless it outruns the wave speed,
-            # so margin-1 kernels + every-4th-step rebin are unconditionally
-            # safe (and losses are counted loudly regardless); the rebin
-            # firing is the profiled top step cost (PERF.md)
-            extra["rebin_every"] = 4
+            # ADAPTIVE amortised rebin (VERDICT r3 #7): start from the
+            # largest safe period given the CURRENT particle speeds (2x
+            # safety margin), and run_simulation shrinks it at chunk
+            # boundaries as speeds grow; drift violations between
+            # boundaries stay loudly counted (windowed.local_rebin lost).
+            # This puts the production default at the k=16 bench
+            # configuration for typical MPM speeds instead of a fixed k=4.
+            extra["rebin_every"] = safe_rebin_period(
+                setup.particles.v, setup.grid.spacing, dt
+            )
         return ExplicitConfig(gamma=0.5, **extra, **common)
     if sp.scheme in IMPLICIT_SCHEMES:
         return ImplicitConfig(
@@ -172,6 +176,20 @@ def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_b
             **common,
         )
     raise ValueError(f"unknown scheme: {sp.scheme}")
+
+
+def safe_rebin_period(v, spacing, dt, k_max: int = 16) -> int:
+    """Largest POWER-OF-TWO rebin period k such that the fastest particle
+    drifts at most half a cell between re-binnings (margin-1 kernels
+    tolerate 1 cell; the 2x factor absorbs within-period acceleration).
+    Powers of two tile the driver's pow-2 scan chunks exactly, keeping the
+    rebin flags static (no lax.cond).  k ∈ [1, k_max]."""
+    vmax = float(np.max(np.abs(np.asarray(v)))) if np.size(v) else 0.0
+    if vmax * dt <= 0.0:
+        k = k_max
+    else:
+        k = max(1, min(k_max, int(spacing / (2.0 * vmax * dt))))
+    return 1 << (k.bit_length() - 1)
 
 
 def run_simulation(
@@ -301,7 +319,11 @@ def run_simulation(
     if setup.gravity is not None:
         g_table = jnp.asarray(setup.gravity, config.dtype())
 
-    def scan_body(carry, i):
+    def make_scan(cfg):
+      # (re)build the jitted chunk scanner for a given step config — the
+      # adaptive rebin period swaps in a smaller rebin_every at chunk
+      # boundaries (one re-jit per distinct k, monotonically shrinking)
+      def scan_body(carry, i, rebin=None):
         pp, _ = carry
         g = grid
         if have_dirichlet:
@@ -318,9 +340,8 @@ def run_simulation(
             traction = jnp.einsum("g,gpd->pd", t_curves[:, ci], t_masks)
             t_area = area0
         step_kw = {}
-        if getattr(cfg, "rebin_every", 1) > 1:
-            k = cfg.rebin_every
-            step_kw["rebin"] = (i % k) == (k - 1)
+        if rebin is not None:
+            step_kw["rebin"] = rebin
         pp, diag = step(pp, g, mats, cfg, body, traction, t_area, **step_kw)
         out = dict(
             lost=diag.get("lost", jnp.zeros((), jnp.int32)),
@@ -353,12 +374,57 @@ def run_simulation(
             react = jnp.zeros((n_nodes, d), config.dtype())
         return (pp, react), out
 
-    @jax.jit
-    def scan_chunk(pp, idx):
-        (pp, react), out = jax.lax.scan(
-            scan_body, (pp, jnp.zeros((n_nodes, d), config.dtype())), idx
+      k = int(getattr(cfg, "rebin_every", 1))
+
+      @jax.jit
+      def scan_chunk(pp, idx):
+        L = idx.shape[0]
+        carry0 = (pp, jnp.zeros((n_nodes, d), config.dtype()))
+        if k <= 1:
+            (pp, react), out = jax.lax.scan(scan_body, carry0, idx)
+            return pp, react, out
+        # k-periodic NESTED scan with STATIC rebin flags: k−1 plain steps +
+        # one rebin step per inner period, rebin on the chunk's LAST step —
+        # no lax.cond (whose untaken branch copies the whole particle carry
+        # every step: measured 11 vs 7 ms/step at 512²).  The schedule is
+        # chunk-RELATIVE: every chunk ends freshly re-binned, so gaps never
+        # exceed k regardless of the chunk's global phase.  Chunk lengths
+        # are powers of two and k ∈ {2,4,8,16}, so L % k == 0 whenever
+        # L ≥ k; short tails run one plain sub-scan + a final rebin step.
+        if L % k == 0:
+            def inner(c, i):
+                return scan_body(c, i, rebin=False)
+
+            def outer(c, ij):
+                c, o1 = jax.lax.scan(inner, c, ij[: k - 1])
+                c, o2 = scan_body(c, ij[k - 1], rebin=True)
+                out = jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a, b[None]]), o1, o2
+                )
+                return c, out
+
+            (pp, react), out = jax.lax.scan(
+                outer, carry0, idx.reshape(L // k, k)
+            )
+            out = jax.tree_util.tree_map(
+                lambda a: a.reshape((L,) + a.shape[2:]), out
+            )
+            return pp, react, out
+        # tail form: only valid when the whole sub-chunk fits inside one
+        # rebin period (the single rebin fires on the last step)
+        assert L <= k, f"sub-chunk of {L} steps exceeds rebin period {k}"
+        c, o1 = jax.lax.scan(
+            lambda c, i: scan_body(c, i, rebin=False), carry0, idx[:-1]
+        )
+        (pp, react), o2 = scan_body(c, idx[-1], rebin=True)
+        out = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b[None]]), o1, o2
         )
         return pp, react, out
+
+      return scan_chunk
+
+    scan_chunk = make_scan(cfg)
 
     def consume(i_first, out):
         lost = np.asarray(out["lost"])
@@ -432,12 +498,57 @@ def run_simulation(
         for b in sorted(bounds):
             if b < i:
                 continue
-            idx = jnp.arange(i, b + 1)
+            t_chunk0 = time.time()
+            # FIXED-LENGTH sub-chunks {128, k, 1}: jax.lax.scan retraces +
+            # relowers per distinct length, and on the remote-TPU backend
+            # lowering the step program costs tens of seconds — arbitrary
+            # inter-event gaps would each pay it.  Restricting sub-chunk
+            # lengths to at most three values bounds the compiles for the
+            # WHOLE run at three scan programs.
             with stages("step_chunks"):
-                p, react, out = scan_chunk(p, idx)
-                jax.block_until_ready(out["lost"])
+                j = i
+                outs = []
+                kk = max(1, int(getattr(cfg, "rebin_every", 1)))
+                while j <= b:
+                    L = b - j + 1
+                    s_len = (128 if (L >= 128 and 128 % kk == 0)
+                             else (kk if L >= kk else 1))
+                    p, react, out_s = scan_chunk(p, jnp.arange(j, j + s_len))
+                    outs.append(out_s)
+                    j += s_len
+                jax.block_until_ready(outs[-1]["lost"])
+                out = (
+                    outs[0]
+                    if len(outs) == 1
+                    else jax.tree_util.tree_map(
+                        lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
+                        *outs,
+                    )
+                )
+                history.setdefault("chunk_wall_s", []).append(
+                    (time.time() - t_chunk0, b - i + 1)
+                )
             with stages("host_consume"):
                 consume(i, out)
+                # adaptive rebin period: shrink k when particle speeds grew
+                # past the half-cell-per-period safety bound (the chunk
+                # boundary is already a host sync; re-jit only on change)
+                if getattr(cfg, "rebin_every", 1) > 1:
+                    # floor at 2: dropping to 1 would swap in margin-0
+                    # kernels whose windows assume the exact slot
+                    # invariant, which in-flight drifted particles violate
+                    k_safe = max(2, safe_rebin_period(
+                        p.v, setup.grid.spacing, dt, k_max=cfg.rebin_every
+                    ))
+                    if k_safe < cfg.rebin_every:
+                        if progress:
+                            print(
+                                f"  [rebin] period {cfg.rebin_every} -> "
+                                f"{k_safe} (particle speeds grew)",
+                                flush=True,
+                            )
+                        cfg = cfg.replace(rebin_every=k_safe)
+                        scan_chunk = make_scan(cfg)
             i = b + 1
             last = b
             if write_outputs and (last % setup.out_every == 0):
@@ -486,6 +597,7 @@ def run_simulation(
             rec.write(path, dim=d)
 
     wall = time.time() - t0
+    history["rebin_every"] = int(getattr(cfg, "rebin_every", 1))
     history["stage_timings"] = stages.summary()
     history["wall_s"] = wall
     history["steps_per_s"] = n / max(wall, 1e-12)

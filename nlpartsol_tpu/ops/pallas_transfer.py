@@ -568,7 +568,15 @@ def fused_scatter(
             grid, box, params, x_t, lam_t, act_t, fN_t, G_t, solve, margin,
             gnorm, valid_lo=valid_lo, valid_hi=valid_hi,
         )
-    g = _Geom(grid, box, params, margin, rows=8 if margin == 0 else 4)
+    # rows-per-program: 8 amortises VPU tiles best, but the K1-banked
+    # output scales with rows·K1·cout·c1p2 — wide boxes (c1p2 > 512 lanes)
+    # blow the 16 MB scoped-VMEM budget at rows=8 (observed: full-grid 512²
+    # box, margin 0, 18.9 MB), so they drop to 4 like the margin-widened
+    # kernels always do
+    g = _Geom(
+        grid, box, params, margin,
+        rows=8 if margin == 0 and box.cdims[1] + 2 <= 512 else 4,
+    )
     cN = fN_t.shape[0]
     has_G = G_t is not None
     cout = cN + (2 if has_G else 0) + (1 if gnorm else 0)

@@ -105,3 +105,50 @@ def test_step_is_jittable_and_stable():
     assert int(diag["nnz"]) > 0
     # At rest with no forces: nothing moves
     np.testing.assert_allclose(np.asarray(p2.x), np.asarray(p.x), atol=1e-7)
+
+
+def test_adaptive_rebin_period(tmp_path):
+    """Driver adaptivity (VERDICT r3 #7): starts at the largest safe rebin
+    period and shrinks it at chunk boundaries as particle speeds grow."""
+    from nlpartsol_tpu.driver import safe_rebin_period, run_simulation
+    from nlpartsol_tpu.io.builder import SimulationSetup, SolverParams
+    from nlpartsol_tpu.models import materials as M
+
+    # unit math
+    assert safe_rebin_period(np.zeros((5, 2)), 0.1, 1e-3) == 16
+    # vmax*dt = 0.01*spacing -> k = 1/(2*0.01) = 50 -> clamp 16
+    assert safe_rebin_period(np.full((5, 2), 1.0), 0.1, 1e-3) == 16
+    # vmax*dt = 0.05*spacing -> k = 10 -> rounded down to the power of 2
+    assert safe_rebin_period(np.full((5, 2), 5.0), 0.1, 1e-3) == 8
+
+    # integration: still particles + gravity => v grows every step; the
+    # period must shrink from 16 by the end of the run
+    h = 0.1
+    grid = Grid(dims=(41, 41), spacing=h, origin=(0.0, 0.0))
+    xs = np.stack(
+        np.meshgrid(np.linspace(1.05, 2.0, 10), np.linspace(2.0, 2.95, 10)),
+        -1,
+    ).reshape(-1, 2).astype(np.float32)
+    vol = (h / 2) ** 2
+    p = make_particles(xs, mass=np.full(len(xs), RHO * vol),
+                       vol0=np.full(len(xs), vol))
+    mats = M.material_table(
+        [M.material(kind="Neo-Hookean-Wriggers", E=E_, nu=0.2, rho0=RHO)]
+    )
+    n = 100
+    setup = SimulationSetup(
+        solver=SolverParams(scheme="NPC-FS", cfl=0.25, cel=C, n_steps=n),
+        grid=grid,
+        particles=p,
+        materials=mats,
+        kinds=(M.NEO_HOOKEAN,),
+        gravity=np.tile(np.array([0.0, -1500.0]), (n, 1)),
+        out_dir=str(tmp_path / "out"),
+        out_every=20,
+    )
+    p_out, hist = run_simulation(
+        setup, transfer="pallas", write_outputs=False, progress=False
+    )
+    assert np.all(np.isfinite(np.asarray(p_out.x)))
+    assert hist["rebin_every"] < 16, "period never adapted down"
+    assert hist["rebin_every"] >= 2
