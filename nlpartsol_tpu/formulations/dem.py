@@ -172,25 +172,39 @@ def dem_step(
     def average_strain_PK1(F_n1):
         """The reference's midpoint rule: S evaluated at the AVERAGED
         C and J (not at F_mid), P = F_mid·S (U-Discrete-Energy-Momentum.c:
-        50-80 + compute_2PK_Stress_Tensor_Neo_Hookean_Wriggers,
-        Neo-Hookean.c:145-178)."""
-        from ..models.materials import NEO_HOOKEAN, lame_parameters
+        50-80).  Materials as the reference's DEM dispatch (:62-66):
+        Neo-Hookean-Wriggers (compute_2PK_Stress_Tensor_...,
+        Neo-Hookean.c:145-178) and Saint-Venant-Kirchhoff
+        (grad_energy_Saint_Venant_Kirchhoff, Saint-Venant-Kirchhoff.c:84-120
+        with the trE initialiser restored — note the reference's formula is
+        S = λ·trE·I + G·E, i.e. HALF the textbook 2G·E shear term; we
+        replicate it verbatim here because this mode exists for binary
+        parity, while models/ keeps the textbook SVK)."""
+        from ..models.materials import (
+            NEO_HOOKEAN, SAINT_VENANT_KIRCHHOFF, lame_parameters,
+        )
 
-        if tuple(cfg.kinds) != (NEO_HOOKEAN,):
-            raise ValueError(
-                "stress_mode='average-strain' implements the reference's "
-                "Neo-Hookean-Wriggers rule only"
-            )
         F_mid = 0.5 * (p.F + F_n1)
         C_n1 = jnp.einsum("pki,pkj->pij", F_n1, F_n1)
         C_mid = 0.5 * (C_n + C_n1)
-        J_mid = 0.5 * (tn.det(p.F) + tn.det(F_n1))
         lam, G = lame_parameters(mats.E[p.mat_id], mats.nu[p.mat_id])
-        C_inv = tn.inv(C_mid)
-        S = (
-            (0.5 * lam * (J_mid * J_mid - 1.0))[:, None, None] * C_inv
-            + G[:, None, None] * (eye[None] - C_inv)
-        )
+        if tuple(cfg.kinds) == (NEO_HOOKEAN,):
+            J_mid = 0.5 * (tn.det(p.F) + tn.det(F_n1))
+            C_inv = tn.inv(C_mid)
+            S = (
+                (0.5 * lam * (J_mid * J_mid - 1.0))[:, None, None] * C_inv
+                + G[:, None, None] * (eye[None] - C_inv)
+            )
+        elif tuple(cfg.kinds) == (SAINT_VENANT_KIRCHHOFF,):
+            E_mid = 0.5 * (C_mid - eye[None])
+            trE = jnp.trace(E_mid, axis1=-2, axis2=-1)
+            S = (lam * trE)[:, None, None] * eye[None] + G[:, None, None] * E_mid
+        else:
+            raise ValueError(
+                "stress_mode='average-strain' implements the reference's "
+                "DEM dispatch (Neo-Hookean-Wriggers, Saint-Venant-Kirchhoff "
+                "— U-Discrete-Energy-Momentum.c:62-66) only"
+            )
         return jnp.einsum("pij,pjk->pik", F_mid, S)
 
     pk1_of = (

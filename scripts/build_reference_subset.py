@@ -272,6 +272,12 @@ PATCHES = [
     # Chain nodes allocated pointer-sized (8B) instead of sizeof(Chain) (16B)
     ("src/Matlib/ChainOp.c",
      "malloc(sizeof(ChainPtr))", "malloc(sizeof(Chain))", 3),
+    # SVK 2PK stress: trE left uninitialised mid-refactor (its initialiser
+    # is commented out on the same line, Saint-Venant-Kirchhoff.c:107) —
+    # restore the obvious intent so the SVK material path is drivable
+    ("src/Constitutive/Hyperelastic/Saint-Venant-Kirchhoff.c",
+     "double trE;// = I1__TensorLib__(E);",
+     "double trE = E.N[0][0] + E.N[1][1]; " + P, 1),  # I1 moved to the flat double* API mid-refactor; 2D trace inline
     # genuine double free: free(nV) then free__MatrixLib__ frees nV again
     (UPW_NB,
      "  free(Effective_Mass.nV);\n  free(IPIV);\n  free__MatrixLib__(Effective_Mass);",

@@ -38,7 +38,7 @@ import sys
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DECK = os.path.join(REPO, "tests", "golden", "dem_bar")
+DECKS = ("dem_bar", "dem_svk_bar")
 RUN = "/tmp/refrun_e2e"
 STEPS = (0, 5, 10, 15, 19)
 
@@ -81,13 +81,8 @@ def read_vtk(path):
     return fields
 
 
-def main():
-    binary = "/tmp/refbuild/nl-partsol"
-    if not os.path.exists(binary):
-        subprocess.run(
-            [sys.executable, os.path.join(REPO, "scripts", "build_reference_subset.py")],
-            check=True,
-        )
+def make_one(binary, deck_name):
+    DECK = os.path.join(REPO, "tests", "golden", deck_name)
     if os.path.exists(RUN):
         shutil.rmtree(RUN)
     shutil.copytree(DECK, RUN, ignore=shutil.ignore_patterns("trajectory.csv"))
@@ -114,6 +109,18 @@ def main():
         header="step,pid,x,y,vx,vy,sxx,sxy,syy", comments="", fmt="%.17g",
     )
     print(f"{out}: {len(rows)} rows")
+
+
+def main():
+    binary = "/tmp/refbuild/nl-partsol"
+    if not os.path.exists(binary):
+        subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "scripts", "build_reference_subset.py")],
+            check=True,
+        )
+    for deck_name in DECKS:
+        make_one(binary, deck_name)
 
 
 if __name__ == "__main__":

@@ -29,10 +29,13 @@ def main():
     from nlpartsol_tpu.driver import make_step_config
     from nlpartsol_tpu.formulations.dem import dem_step
     from nlpartsol_tpu.io.builder import build_simulation
-    from nlpartsol_tpu.models.materials import lame_parameters
+    from nlpartsol_tpu.models.materials import (
+        SAINT_VENANT_KIRCHHOFF, lame_parameters,
+    )
 
+    deck_name = sys.argv[1] if len(sys.argv) > 1 else "dem_bar"
     deck = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "golden", "dem_bar"
+        os.path.dirname(os.path.abspath(__file__)), "golden", deck_name
     )
     setup = build_simulation(os.path.join(deck, "sim.nlp"))
     gold = np.genfromtxt(
@@ -85,11 +88,18 @@ def main():
             np.einsum("pki,pkj->pij", F0p, F0p)
             + np.einsum("pki,pkj->pij", F1p, F1p)
         )
-        J_mid = 0.5 * (np.linalg.det(F0p) + np.linalg.det(F1p))
-        Cinv = np.linalg.inv(C_mid)
-        S = (0.5 * lam * (J_mid**2 - 1))[:, None, None] * Cinv + G[
-            :, None, None
-        ] * (eye[None] - Cinv)
+        if setup.kinds == (SAINT_VENANT_KIRCHHOFF,):
+            # reference DEM SVK rule (trE restored): S = lam*trE*I + G*E
+            # at E = (C_mid - I)/2 (Saint-Venant-Kirchhoff.c:107-112)
+            E_mid = 0.5 * (C_mid - eye[None])
+            trE = np.trace(E_mid, axis1=-2, axis2=-1)
+            S = (lam * trE)[:, None, None] * eye[None] + G[:, None, None] * E_mid
+        else:
+            J_mid = 0.5 * (np.linalg.det(F0p) + np.linalg.det(F1p))
+            Cinv = np.linalg.inv(C_mid)
+            S = (0.5 * lam * (J_mid**2 - 1))[:, None, None] * Cinv + G[
+                :, None, None
+            ] * (eye[None] - Cinv)
         scale = max(1.0, np.abs(gk["sxx"]).max())
         np.testing.assert_allclose(S[:, 0, 0], gk["sxx"], rtol=0, atol=1e-6 * scale)
         np.testing.assert_allclose(S[:, 0, 1], gk["sxy"], rtol=0, atol=1e-6 * scale)

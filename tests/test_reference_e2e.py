@@ -23,13 +23,20 @@ import os
 import subprocess
 import sys
 
+import pytest
 
-def test_dem_bar_matches_reference_binary():
+
+@pytest.mark.parametrize("deck", ["dem_bar", "dem_svk_bar"])
+def test_dem_matches_reference_binary(deck):
+    """Two independent trajectories (VERDICT r3 #10): Neo-Hookean nu=0 and
+    Saint-Venant-Kirchhoff nu=0.3 (the reference's SVK 2PK drivable after
+    restoring its commented-out trE initialiser — build_reference_subset.py
+    PATCHES)."""
     worker = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "_e2e_worker.py"
     )
     r = subprocess.run(
-        [sys.executable, worker],
+        [sys.executable, worker, deck],
         capture_output=True,
         text=True,
         timeout=900,
