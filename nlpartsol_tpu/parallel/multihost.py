@@ -113,11 +113,56 @@ def shard_grid_global(grid: Grid, dec: domain.Decomp, mesh: Mesh) -> Grid:
 
 def gather_particles(p_stacked: Particles) -> Particles:
     """Replicate the sharded particle state to every host as numpy
-    (I/O/diagnostics; O(global size) per host — use per-shard access via
-    ``addressable_shards`` for large runs)."""
+    (I/O/diagnostics; O(global size) per host — use
+    :func:`addressable_particles` / :func:`write_shard_vtk` for large
+    runs)."""
     from jax.experimental import multihost_utils
 
     return jax.tree_util.tree_map(
         lambda a: np.asarray(multihost_utils.process_allgather(a, tiled=True)),
         p_stacked,
     )
+
+
+def addressable_particles(p_stacked: Particles, dec: domain.Decomp):
+    """Per-shard particle states OWNED BY THIS PROCESS, shifted back to
+    world coordinates — the gather-free output path for large runs
+    (VERDICT r3 #8): each host touches only its own O(local) data, never
+    the global state.  Returns [(global_shard_id, Particles numpy)]."""
+    ns = dec.local_box.n_slots
+    leaves, treedef = jax.tree_util.tree_flatten(p_stacked)
+    shard_rows = {}
+    for sh in leaves[0].addressable_shards:
+        # leading-axis offset of this device's strip → global shard id
+        sid = sh.index[0].start // ns if sh.index[0].start else 0
+        shard_rows[sh.device] = sid
+    out = []
+    for dev, sid in sorted(shard_rows.items(), key=lambda kv: kv[1]):
+        local_leaves = []
+        for leaf in leaves:
+            for sh in leaf.addressable_shards:
+                if sh.device == dev:
+                    local_leaves.append(np.asarray(sh.data))
+                    break
+        loc = jax.tree_util.tree_unflatten(treedef, local_leaves)
+        shift = dec.shift(sid)
+        loc = loc.replace(x=np.asarray(loc.x) + shift[None, :].astype(loc.x.dtype))
+        out.append((sid, loc))
+    return out
+
+
+def write_shard_vtk(out_dir: str, step: int, p_stacked: Particles,
+                    dec: domain.Decomp, **vtk_kw) -> list:
+    """Gather-free VTK output: each process writes one particle-cloud file
+    per shard it owns (``particles_<step>_shard<k>.vtk``); a ParaView group
+    of the per-shard files is the full cloud.  Returns the paths written by
+    THIS process."""
+    import os
+
+    from ..io import vtk as vtk_mod
+
+    paths = []
+    for sid, loc in addressable_particles(p_stacked, dec):
+        path = os.path.join(out_dir, f"particles_{step:06d}_shard{sid:03d}.vtk")
+        paths.append(vtk_mod.write_particles_vtk(path, loc, **vtk_kw))
+    return paths
