@@ -48,10 +48,14 @@ def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_b
     if setup.shapefun == "lme":
         shp_kw["lme_params"] = lme_mod.LMEParams(**setup.shapefun_params)
     formulation_ = getattr(setup, "formulation", "u")
+    _pallas_formulations = (
+        # -u: explicit + implicit + static; -upw: explicit two-phase
+        formulation_ == "u"
+        and setup.solver.scheme
+        in (EXPLICIT_SCHEMES | IMPLICIT_SCHEMES | STATIC_SCHEMES)
+    ) or (formulation_ == "upw" and setup.solver.scheme in EXPLICIT_SCHEMES)
     if transfer == "pallas" and (
-        formulation_ != "u"
-        or setup.solver.scheme
-        not in (EXPLICIT_SCHEMES | IMPLICIT_SCHEMES | STATIC_SCHEMES)
+        not _pallas_formulations
         or setup.shapefun != "lme"
         or setup.grid.dim not in (2, 3)
         # the fused kernels implement the plain Newton λ-solve only; the
@@ -59,9 +63,9 @@ def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_b
         or str(setup.shapefun_params.get("wrapper", "Newton-Raphson"))
         .lower().replace("_", "-") == "nelder-mead"
     ):
-        # fused kernels cover the explicit+implicit 2D/3D LME -u paths;
-        # others take the XLA windowed engine (same slot layout, same
-        # physics)
+        # fused kernels cover the explicit+implicit 2D/3D LME -u paths and
+        # the explicit two-phase (-upw) path; others take the XLA windowed
+        # engine (same slot layout, same physics)
         transfer = "windowed"
     common = dict(
         dt=dt,

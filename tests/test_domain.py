@@ -254,9 +254,11 @@ def test_halo_implicit_parity(sharded_transfer):
     np.testing.assert_allclose(J1, J0, rtol=0, atol=1e-4)
 
 
-def test_halo_upw_parity():
+@pytest.mark.parametrize("sharded_transfer", ["windowed", "pallas"])
+def test_halo_upw_parity(sharded_transfer):
     """Sharded two-phase (upw) explicit run matches the single-device run
-    (VERDICT r2 #7: the geotech flagship formulation must run sharded)."""
+    (VERDICT r2 #7: the geotech flagship formulation must run sharded) —
+    on BOTH engines (the fused-pallas upw step is new in round 4)."""
     from nlpartsol_tpu.formulations.upw import (
         UpwConfig, init_mixture_state, make_mixture_table, upw_step,
     )
@@ -303,6 +305,7 @@ def test_halo_upw_parity():
 
     p_ref = ref_run(p_ref)
 
+    cfg = cfg.replace(transfer=sharded_transfer)
     offs = lme.offsets_for(2, lp)
     dec = domain.decompose(grid, box, S, offs)
     mesh = domain.make_mesh(S)

@@ -218,19 +218,66 @@ def test_upw_implicit_drained_pressure_decays():
     assert final < 0.8 * peak, f"pore pressure did not consolidate: {peak} -> {final}"
 
 
-def test_upw_pallas_transfer_rejected():
-    """The two-phase steps have no fused-pallas engine; transfer='pallas'
-    must fail loudly instead of silently falling through to a ScatterEngine
-    whose grid-axis psum would sum mismatched halo strips (VERDICT r3 weak
-    #3)."""
-    from nlpartsol_tpu.formulations.upw import UpwConfig
+def test_up_pallas_transfer_rejected():
+    """Steps WITHOUT a fused-pallas engine (up, DEM) must fail loudly on
+    transfer='pallas' instead of silently falling through to a
+    ScatterEngine whose grid-axis psum would sum mismatched halo strips
+    (VERDICT r3 weak #3).  upw gained a fused path in round 4 — see
+    test_upw_pallas_parity."""
+    from nlpartsol_tpu.formulations.up import UpConfig, up_step
     from nlpartsol_tpu.ops import windowed
 
     grid, p, mats, mix, h, H = column_setup()
     box = windowed.full_box(grid, capacity=8)
-    cfg = UpwConfig(
+    cfg = UpConfig(
         dt=1e-5, shapefun="lme", transfer="pallas", active_box=box,
         kinds=(M.NEO_HOOKEAN,),
     )
     with pytest.raises(ValueError, match="no fused-pallas"):
-        upw_step(p, grid, mats, mix, cfg, jnp.zeros((2,), jnp.float32))
+        up_step(p, grid, mats, cfg, jnp.zeros((2,), jnp.float32))
+
+
+def test_upw_pallas_parity():
+    """Fused-pallas two-phase step (VERDICT r3 #4) matches the windowed
+    engine: positions, pore pressure, and porosity over a gravity-loading
+    run."""
+    from nlpartsol_tpu.formulations.upw import UpwConfig
+    from nlpartsol_tpu.formulations.explicit import to_slot_layout
+    from nlpartsol_tpu.ops import windowed
+    from nlpartsol_tpu.shapefun import lme as lme_mod
+
+    grid, p, mats, mix, h, H = column_setup()
+    box = windowed.full_box(grid, capacity=8)
+    c_mix = np.sqrt((KF / 0.4) / 1700.0)
+    n_steps = 25
+    body = jnp.asarray([0.0, -9.81], jnp.float32)
+    outs = {}
+    for transfer in ("windowed", "pallas"):
+        cfg = UpwConfig(
+            dt=0.2 * h / c_mix,
+            shapefun="lme",
+            lme_params=lme_mod.LMEParams(gamma=3.0),
+            kinds=(M.NEO_HOOKEAN,),
+            transfer=transfer,
+            active_box=box,
+        )
+        pp = to_slot_layout(p, grid, box)
+        step = jax.jit(upw_step, static_argnums=(4,))
+        for _ in range(n_steps):
+            pp, diag = step(pp, grid, mats, mix, cfg, body)
+        act = np.asarray(pp.active)
+        pid = np.asarray(pp.pid)[act]
+        order = np.argsort(pid)
+        outs[transfer] = (
+            np.asarray(pp.x)[act][order],
+            np.asarray(pp.pw)[act][order],
+            np.asarray(pp.phi_f)[act][order],
+        )
+        assert int(diag["lost"]) == 0
+    xw, pww, ffw = outs["windowed"]
+    xp, pwp, ffp = outs["pallas"]
+    np.testing.assert_allclose(xp, xw, rtol=0, atol=1e-6)
+    pw_scale = max(1.0, float(np.abs(pww).max()))
+    assert np.abs(pww).max() > 1.0, "no pore pressure built up - weak test"
+    np.testing.assert_allclose(pwp, pww, rtol=0, atol=1e-5 * pw_scale)
+    np.testing.assert_allclose(ffp, ffw, rtol=0, atol=1e-6)
