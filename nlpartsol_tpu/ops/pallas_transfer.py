@@ -125,7 +125,8 @@ class _Geom:
         ]
 
 
-def _basis_terms(g: _Geom, x0, x1, lam0, lam1, act, cy, vlo=None, vhi=None):
+def _basis_terms(g: _Geom, x0, x1, lam0, lam1, act, cy, vlo=None, vhi=None,
+                 vlo1=None, vhi1=None):
     """Per-offset closures: rel components and validity for offset (o0, o1).
 
     ``cy`` is the cell row per element (array broadcastable to x0.shape).
@@ -145,12 +146,14 @@ def _basis_terms(g: _Geom, x0, x1, lam0, lam1, act, cy, vlo=None, vhi=None):
     cyi = cy.astype(jnp.int32)
     lo0 = 0 if vlo is None else vlo
     hi0 = g.n0 - 1 if vhi is None else vhi
+    lo1 = 0 if vlo1 is None else vlo1
+    hi1 = g.n1 - 1 if vhi1 is None else vhi1
 
     def valid(o0, o1):
         i0 = g.o0 + o0 + cyi
         in0 = (i0 >= lo0) & (i0 <= hi0)
         i1 = c1_idx + (g.o1 + o1)
-        in1 = (i1 >= 0) & (i1 <= g.n1 - 1)
+        in1 = (i1 >= lo1) & (i1 <= hi1)
         return act & in0 & in1
 
     return rel, valid
@@ -200,19 +203,35 @@ def _slot_spec(g: _Geom, ch: int):
     )
 
 
-def _vb_spec():
-    return pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
+def _vb_spec(d: int = 2):
+    return pl.BlockSpec((1, 2 * d), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
 
-def _valid_bounds(g: _Geom, valid_lo, valid_hi) -> jax.Array:
-    """(1, 2) int32 [vlo, vhi] SMEM input (traced per-device under
-    shard_map; static local bounds otherwise)."""
-    vlo = jnp.int32(0) if valid_lo is None else jnp.asarray(valid_lo, jnp.int32)
-    vhi = (
-        jnp.int32(g.n0 - 1) if valid_hi is None
-        else jnp.asarray(valid_hi, jnp.int32)
-    )
-    return jnp.stack([vlo, vhi]).reshape(1, 2)
+def _valid_bounds(g, valid_lo, valid_hi, dims=None) -> jax.Array:
+    """(1, 2d) int32 [vlo0, vhi0, vlo1, vhi1, ...] SMEM input (traced
+    per-device under shard_map; static local bounds otherwise).
+
+    ``valid_lo``/``valid_hi`` may be None (whole local grid is real),
+    scalars (axis-0 bound only — the 1-D decomposition), or (d,) arrays
+    (per-axis bounds — the 2-D decomposition masks phantom planes beyond
+    the GLOBAL grid on both split axes)."""
+    if dims is None:
+        dims = (g.n0, g.n1)
+    d = len(dims)
+
+    def norm(v, default_per_axis):
+        if v is None:
+            return jnp.asarray(default_per_axis, jnp.int32)
+        a = jnp.asarray(v, jnp.int32).reshape(-1)
+        if a.shape[0] == d:
+            return a
+        # scalar / (1,): axis-0 bound, other axes unbounded
+        rest = jnp.asarray(default_per_axis[1:], jnp.int32)
+        return jnp.concatenate([a.reshape(1), rest])
+
+    vlo = norm(valid_lo, [0] * d)
+    vhi = norm(valid_hi, [n - 1 for n in dims])
+    return jnp.stack([vlo, vhi], axis=1).reshape(1, 2 * d)
 
 
 def _basis_passes(g: _Geom, rel, valid, lam0, lam1):
@@ -314,7 +333,8 @@ def _make_scatter_kernel(g: _Geom, cN: int, has_G: bool, solve: bool,
         lam1 = in_ref[0, 3]
         cy = cy0 + _row_iota(g)
         rel, valid = _basis_terms(
-            g, x0, x1, lam0, lam1, act, cy, vlo=vb_ref[0, 0], vhi=vb_ref[0, 1]
+            g, x0, x1, lam0, lam1, act, cy, vlo=vb_ref[0, 0], vhi=vb_ref[0, 1],
+            vlo1=vb_ref[0, 2], vhi1=vb_ref[0, 3]
         )
         sel = _row_sum_matrix(g)
 
@@ -453,9 +473,17 @@ def _xla_basis(g: _Geom, grid, box, params, x_t, lam_t, act_t, solve,
     dims = jnp.asarray(grid.dims)
     inb = jnp.all((multi >= 0) & (multi < dims), axis=-1)
     if valid_lo is not None:
-        inb = inb & (multi[..., 0] >= valid_lo)
+        vlo_a = jnp.asarray(valid_lo, jnp.int32).reshape(-1)
+        if vlo_a.shape[0] > 1:
+            inb = inb & jnp.all(multi >= vlo_a, axis=-1)
+        else:
+            inb = inb & (multi[..., 0] >= vlo_a[0])
     if valid_hi is not None:
-        inb = inb & (multi[..., 0] <= valid_hi)
+        vhi_a = jnp.asarray(valid_hi, jnp.int32).reshape(-1)
+        if vhi_a.shape[0] > 1:
+            inb = inb & jnp.all(multi <= vhi_a, axis=-1)
+        else:
+            inb = inb & (multi[..., 0] <= vhi_a[0])
     node_pos = multi.astype(x.dtype) * g.h + jnp.asarray(grid.origin, x.dtype)
     rel = x[:, None, :] - node_pos
     sq = jnp.sum(rel * rel, axis=-1)
@@ -660,7 +688,8 @@ def _make_gather_kernel(g: _Geom, cN: int, has_grad: bool, cg: int):
         lam1 = in_ref[0, 3]
         cy = cy0 + _row_iota(g)
         rel, valid = _basis_terms(
-            g, x0, x1, lam0, lam1, act, cy, vlo=vb_ref[0, 0], vhi=vb_ref[0, 1]
+            g, x0, x1, lam0, lam1, act, cy, vlo=vb_ref[0, 0], vhi=vb_ref[0, 1],
+            vlo1=vb_ref[0, 2], vhi1=vb_ref[0, 3]
         )
         rep = _row_rep_matrix(g)
         e_of, fmax, Z, _ = _basis_passes(g, rel, valid, lam0, lam1)

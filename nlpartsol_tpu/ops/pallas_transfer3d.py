@@ -153,7 +153,8 @@ def _inv3_damped(j00, j01, j02, j11, j12, j22):
     return a00 * inv, a01 * inv, a02 * inv, a11 * inv, a12 * inv, a22 * inv
 
 
-def _terms3(g: _Geom3, x0, x1, x2, act, pz, cy, vlo=None, vhi=None):
+def _terms3(g: _Geom3, x0, x1, x2, act, pz, cy, vlo=None, vhi=None,
+            vlo1=None, vhi1=None, vlo2=None, vhi2=None):
     """rel / valid closures over a window offset (static or traced).
     ``vlo``/``vhi`` bound valid node planes along axis 0 (halo strips mask
     phantom planes beyond the global grid; parallel/domain.py)."""
@@ -171,6 +172,10 @@ def _terms3(g: _Geom3, x0, x1, x2, act, pz, cy, vlo=None, vhi=None):
 
     lo0 = 0 if vlo is None else vlo
     hi0 = g.n0 - 1 if vhi is None else vhi
+    lo1 = 0 if vlo1 is None else vlo1
+    hi1 = g.n1 - 1 if vhi1 is None else vhi1
+    lo2 = 0 if vlo2 is None else vlo2
+    hi2 = g.n2 - 1 if vhi2 is None else vhi2
 
     def valid(o0, o1, o2):
         i0 = pz + g.o0b + o0
@@ -179,8 +184,8 @@ def _terms3(g: _Geom3, x0, x1, x2, act, pz, cy, vlo=None, vhi=None):
         return (
             act
             & (i0 >= lo0) & (i0 <= hi0)
-            & (i1 >= 0) & (i1 <= g.n1 - 1)
-            & (i2 >= 0) & (i2 <= g.n2 - 1)
+            & (i1 >= lo1) & (i1 <= hi1)
+            & (i2 >= lo2) & (i2 <= hi2)
         )
 
     return rel, valid
@@ -233,7 +238,9 @@ def _make_scatter_kernel3(g: _Geom3, cN: int, has_G: bool, solve: bool,
         lam2 = lam_ref[0, 2]
         cy = iy * g.R + _row_iota3(g)
         rel, valid = _terms3(g, x0, x1, x2, act, pz, cy,
-                             vlo=vb_ref[0, 0], vhi=vb_ref[0, 1])
+                             vlo=vb_ref[0, 0], vhi=vb_ref[0, 1],
+                             vlo1=vb_ref[0, 2], vhi1=vb_ref[0, 3],
+                             vlo2=vb_ref[0, 4], vhi2=vb_ref[0, 5])
         sel = _row_sum_matrix3(g)
         shape = x0.shape
 
@@ -398,9 +405,19 @@ def _xla_basis3(g: _Geom3, grid, box, params, x_t, lam_t, act_t, solve,
     dims = jnp.asarray(grid.dims)
     inb = jnp.all((multi >= 0) & (multi < dims), axis=-1)
     if valid_lo is not None:
-        inb = inb & (multi[..., 0] >= valid_lo)
+        vlo_a = jnp.asarray(valid_lo, jnp.int32).reshape(-1)
+        inb = inb & (
+            jnp.all(multi >= vlo_a, axis=-1)
+            if vlo_a.shape[0] > 1
+            else (multi[..., 0] >= vlo_a[0])
+        )
     if valid_hi is not None:
-        inb = inb & (multi[..., 0] <= valid_hi)
+        vhi_a = jnp.asarray(valid_hi, jnp.int32).reshape(-1)
+        inb = inb & (
+            jnp.all(multi <= vhi_a, axis=-1)
+            if vhi_a.shape[0] > 1
+            else (multi[..., 0] <= vhi_a[0])
+        )
     node_pos = multi.astype(x.dtype) * g.h + jnp.asarray(grid.origin, x.dtype)
     rel = x[:, None, :] - node_pos
     sq = jnp.sum(rel * rel, axis=-1)
@@ -536,10 +553,7 @@ def fused_scatter3(
 
     from .pallas_transfer import _valid_bounds, _vb_spec
 
-    class _GB:  # adapter: _valid_bounds only reads n0
-        n0 = g.n0
-
-    vb = _valid_bounds(_GB, valid_lo, valid_hi)
+    vb = _valid_bounds(None, valid_lo, valid_hi, dims=(g.n0, g.n1, g.n2))
     if xv is None:
         org = jnp.asarray(grid.origin, dt)
         xv = _to_view3(g, x_t - org[:, None, None], 3)
@@ -560,7 +574,7 @@ def fused_scatter3(
     out, lam_new, cnt = pl.pallas_call(
         kernel,
         grid=(g.nprog,),
-        in_specs=[_vb_spec(),
+        in_specs=[_vb_spec(3),
                   _slot_spec3(g, 3), _slot_spec3(g, 3), _slot_spec3(g, 1),
                   _slot_spec3(g, cN), _slot_spec3(g, 9)],
         out_specs=[
@@ -654,7 +668,9 @@ def _make_gather_kernel3(g: _Geom3, cN: int, has_grad: bool, cg: int):
         lam2 = lam_ref[0, 2]
         cy = iy * g.R + _row_iota3(g)
         rel, valid = _terms3(g, x0, x1, x2, act, pz, cy,
-                             vlo=vb_ref[0, 0], vhi=vb_ref[0, 1])
+                             vlo=vb_ref[0, 0], vhi=vb_ref[0, 1],
+                             vlo1=vb_ref[0, 2], vhi1=vb_ref[0, 3],
+                             vlo2=vb_ref[0, 4], vhi2=vb_ref[0, 5])
         rep = _row_rep_matrix3(g)
         shape = x0.shape
         f_of, neg = _f_of(g, rel, valid, lam0, lam1, lam2)
@@ -812,16 +828,13 @@ def fused_gather3(
 
     from .pallas_transfer import _valid_bounds, _vb_spec
 
-    class _GB:
-        n0 = g.n0
-
-    vb = _valid_bounds(_GB, valid_lo, valid_hi)
+    vb = _valid_bounds(None, valid_lo, valid_hi, dims=(g.n0, g.n1, g.n2))
     kernel = _make_gather_kernel3(g, cN, has_grad, cg)
     outN, outG = pl.pallas_call(
         kernel,
         grid=(g.nprog,),
         in_specs=[
-            _vb_spec(),
+            _vb_spec(3),
             _slot_spec3(g, 3), _slot_spec3(g, 3), _slot_spec3(g, 1),
             blk_spec(0, 0), blk_spec(0, 1),
             blk_spec(1, 0), blk_spec(1, 1),

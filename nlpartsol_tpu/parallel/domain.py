@@ -788,3 +788,479 @@ def sharded_implicit_run(mesh: Mesh, decomp: Decomp, cfg, n_steps: int):
         )
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# 2-D grid decomposition (SURVEY §7 step 7: "1-D/2-D host×chip mesh")
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class HaloSpec2:
+    """Static description of the 2-D decomposition: grid axes 0 and 1 are
+    split over a (S0, S1) device mesh.  Halo exchange is the standard
+    TWO-PHASE pattern — axis 0 first over the full local extent (ghost
+    columns included), then axis 1 — so corner contributions travel in two
+    nearest-neighbour hops and no diagonal ppermute is ever needed."""
+
+    axes: tuple  # (axis0_name, axis1_name)
+    shards: tuple  # (S0, S1)
+    wlo: tuple  # ghost planes below per split axis
+    whi: tuple
+    bc: tuple  # owned cell planes per shard per split axis
+    ln: tuple  # local node planes per split axis
+
+    @property
+    def axis_name(self):
+        """Collective axis spec for psums over the whole mesh."""
+        return self.axes
+
+
+def _plane_own_mask2(spec: HaloSpec2, axis: int) -> jax.Array:
+    j = jnp.arange(spec.ln[axis])
+    dev = jax.lax.axis_index(spec.axes[axis])
+    lo_ok = (j >= spec.wlo[axis]) | (dev == 0)
+    hi_ok = (j < spec.wlo[axis] + spec.bc[axis]) | (dev == spec.shards[axis] - 1)
+    return lo_ok & hi_ok
+
+
+def _axis_exchange_add(g, spec: HaloSpec2, axis: int):
+    """1-D exchange-add along one split axis of a (ln0, ln1, rest) view."""
+    S = spec.shards[axis]
+    ax = spec.axes[axis]
+    wlo, whi, bc = spec.wlo[axis], spec.whi[axis], spec.bc[axis]
+    mv = jnp.moveaxis(g, axis, 0)
+    if S > 1:
+        if wlo > 0:
+            from_up = jax.lax.ppermute(
+                mv[:wlo], ax, [(s, s - 1) for s in range(1, S)]
+            )
+            mv = mv.at[bc : bc + wlo].add(from_up)
+        if whi > 0:
+            from_dn = jax.lax.ppermute(
+                mv[wlo + bc :], ax, [(s, s + 1) for s in range(S - 1)]
+            )
+            mv = mv.at[wlo : wlo + whi].add(from_dn)
+    owned = _plane_own_mask2(spec, axis)
+    mv = jnp.where(owned.reshape((-1,) + (1,) * (mv.ndim - 1)), mv, 0.0)
+    return jnp.moveaxis(mv, 0, axis)
+
+
+def _axis_fill(g, spec: HaloSpec2, axis: int):
+    S = spec.shards[axis]
+    ax = spec.axes[axis]
+    wlo, whi, bc = spec.wlo[axis], spec.whi[axis], spec.bc[axis]
+    mv = jnp.moveaxis(g, axis, 0)
+    out = mv
+    if S > 1:
+        if wlo > 0:
+            from_dn = jax.lax.ppermute(
+                mv[bc : bc + wlo], ax, [(s, s + 1) for s in range(S - 1)]
+            )
+            out = out.at[:wlo].set(from_dn)
+        if whi > 0:
+            from_up = jax.lax.ppermute(
+                mv[wlo : wlo + whi], ax, [(s, s - 1) for s in range(1, S)]
+            )
+            out = out.at[wlo + bc :].set(from_up)
+    owned = _plane_own_mask2(spec, axis)
+    out = jnp.where(owned.reshape((-1,) + (1,) * (mv.ndim - 1)), mv, out)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def halo_exchange_add2(f: jax.Array, spec: HaloSpec2) -> jax.Array:
+    """Owned-complete / ghost-zero on BOTH split axes (two-phase)."""
+    shape = f.shape
+    g = f.reshape((spec.ln[0], spec.ln[1], -1))
+    g = _axis_exchange_add(g, spec, 0)
+    g = _axis_exchange_add(g, spec, 1)
+    return g.reshape(shape)
+
+
+def halo_fill2(f: jax.Array, spec: HaloSpec2) -> jax.Array:
+    shape = f.shape
+    g = f.reshape((spec.ln[0], spec.ln[1], -1))
+    g = _axis_fill(g, spec, 0)
+    g = _axis_fill(g, spec, 1)
+    return g.reshape(shape)
+
+
+# route the generic entry points (the step functions call these)
+_halo_exchange_add_1d = halo_exchange_add
+_halo_fill_1d = halo_fill
+
+
+def halo_exchange_add(f, spec):
+    if isinstance(spec, HaloSpec2):
+        return halo_exchange_add2(f, spec)
+    return _halo_exchange_add_1d(f, spec)
+
+
+def halo_fill(f, spec):
+    if isinstance(spec, HaloSpec2):
+        return halo_fill2(f, spec)
+    return _halo_fill_1d(f, spec)
+
+
+@dataclasses.dataclass
+class Decomp2:
+    spec: HaloSpec2
+    global_grid: Grid
+    global_box: windowed.ActiveBox
+    local_grid: Grid
+    local_box: windowed.ActiveBox
+    margin: int = 0
+
+    def base_plane(self, axis: int, s: int) -> int:
+        return (
+            self.global_box.offset[axis]
+            + s * self.spec.bc[axis]
+            - self.spec.wlo[axis]
+        )
+
+    def shift(self, s0: int, s1: int) -> np.ndarray:
+        sh = np.zeros(self.global_grid.dim, np.float64)
+        sh[0] = (
+            self.global_grid.origin[0]
+            + self.base_plane(0, s0) * self.global_grid.spacing
+        )
+        sh[1] = (
+            self.global_grid.origin[1]
+            + self.base_plane(1, s1) * self.global_grid.spacing
+        )
+        return sh
+
+
+def decompose2(
+    grid: Grid,
+    box: windowed.ActiveBox,
+    shards: tuple,
+    offsets: np.ndarray,
+    axis_names: tuple = ("g0", "g1"),
+    margin: int = 0,
+) -> Decomp2:
+    """2-D decomposition: grid axes 0 and 1 split over (S0, S1) devices.
+    Same auto-padding / min-slab rules as :func:`decompose`, per axis."""
+    offs = np.asarray(offsets)
+    S0, S1 = int(shards[0]), int(shards[1])
+    w = []
+    cd = list(box.cdims)
+    for a, S in ((0, S0), (1, S1)):
+        wlo = int(-offs[:, a].min()) + int(margin)
+        whi = int(offs[:, a].max()) + int(margin)
+        if cd[a] % S:
+            cd[a] += S - cd[a] % S
+        bca = cd[a] // S
+        if bca < max(wlo, whi, 1):
+            raise ValueError(
+                f"axis {a}: slab of {bca} cell planes is thinner than the "
+                f"halo (wlo={wlo}, whi={whi}): use fewer shards or a larger "
+                f"box"
+            )
+        w.append((wlo, whi, bca))
+    box = windowed.ActiveBox(
+        offset=box.offset, cdims=tuple(cd) + tuple(box.cdims[2:]),
+        capacity=box.capacity,
+    )
+    (w0lo, w0hi, bc0), (w1lo, w1hi, bc1) = w
+    ln0 = bc0 + w0lo + w0hi
+    ln1 = bc1 + w1lo + w1hi
+    spec = HaloSpec2(
+        axes=tuple(axis_names), shards=(S0, S1), wlo=(w0lo, w1lo),
+        whi=(w0hi, w1hi), bc=(bc0, bc1), ln=(ln0, ln1),
+    )
+    local_grid = Grid(
+        dims=(ln0, ln1) + tuple(grid.dims[2:]),
+        spacing=grid.spacing,
+        origin=(0.0, 0.0) + tuple(grid.origin[2:]),
+    )
+    local_box = windowed.ActiveBox(
+        offset=(w0lo, w1lo) + tuple(box.offset[2:]),
+        cdims=(bc0, bc1) + tuple(box.cdims[2:]),
+        capacity=box.capacity,
+    )
+    return Decomp2(
+        spec=spec, global_grid=grid, global_box=box, local_grid=local_grid,
+        local_box=local_box, margin=int(margin),
+    )
+
+
+def make_mesh2(shards: tuple, axis_names: tuple = ("g0", "g1")) -> Mesh:
+    S0, S1 = shards
+    avail = jax.devices()
+    if S0 * S1 > len(avail):
+        raise ValueError(
+            f"make_mesh2: {S0 * S1} devices requested, {len(avail)} available"
+        )
+    return Mesh(np.array(avail[: S0 * S1]).reshape(S0, S1), tuple(axis_names))
+
+
+def shard_grid2(grid: Grid, dec: Decomp2) -> Grid:
+    """Per-device local strips stacked on the leading axis, (s0, s1)-major
+    — shard with ``P((axis0, axis1))``.  valid_lo/valid_hi are per-device
+    (d,) vectors bounding REAL node planes on both split axes."""
+    spec = dec.spec
+    dims = grid.dims
+    d = grid.dim
+
+    def strips(arr, fill):
+        a = np.asarray(arr)
+        trail = a.shape[1:]
+        full = a.reshape(dims + trail)
+        segs = []
+        for s0 in range(spec.shards[0]):
+            for s1 in range(spec.shards[1]):
+                b0, b1 = dec.base_plane(0, s0), dec.base_plane(1, s1)
+                seg = np.full(
+                    (spec.ln[0], spec.ln[1]) + dims[2:] + trail, fill, a.dtype
+                )
+                lo0, hi0 = max(0, b0), min(dims[0], b0 + spec.ln[0])
+                lo1, hi1 = max(0, b1), min(dims[1], b1 + spec.ln[1])
+                if hi0 > lo0 and hi1 > lo1:
+                    seg[lo0 - b0 : hi0 - b0, lo1 - b1 : hi1 - b1] = full[
+                        lo0:hi0, lo1:hi1
+                    ]
+                segs.append(seg.reshape((-1,) + trail))
+        return jnp.asarray(np.concatenate(segs, axis=0))
+
+    dm = None if grid.dirichlet_mask is None else strips(grid.dirichlet_mask, False)
+    dv = None if grid.dirichlet_value is None else strips(grid.dirichlet_value, 0.0)
+    act = None if grid.active is None else strips(grid.active, False)
+    vlo, vhi = [], []
+    for s0 in range(spec.shards[0]):
+        for s1 in range(spec.shards[1]):
+            b0, b1 = dec.base_plane(0, s0), dec.base_plane(1, s1)
+            lo = [max(0, -b0), max(0, -b1)] + [0] * (d - 2)
+            hi = [
+                min(spec.ln[0] - 1, dims[0] - 1 - b0),
+                min(spec.ln[1] - 1, dims[1] - 1 - b1),
+            ] + [n - 1 for n in dims[2:]]
+            vlo.append(lo)
+            vhi.append(hi)
+    return dec.local_grid.replace(
+        dirichlet_mask=dm,
+        dirichlet_value=dv,
+        active=act,
+        valid_lo=jnp.asarray(vlo, jnp.int32),
+        valid_hi=jnp.asarray(vhi, jnp.int32),
+    )
+
+
+def shard_particles2(p: Particles, dec: Decomp2) -> Particles:
+    spec = dec.spec
+    parts = []
+    kept = 0
+    for s0 in range(spec.shards[0]):
+        for s1 in range(spec.shards[1]):
+            shift = jnp.asarray(dec.shift(s0, s1), p.x.dtype)
+            ps = p.replace(x=p.x - shift)
+            binning = windowed.bin_particles(
+                dec.local_grid, dec.local_box, ps.x, ps.active
+            )
+            loc = windowed.permute_to_slots(ps, binning)
+            kept += int(jnp.sum(loc.active))
+            parts.append(loc)
+    n_active = int(jnp.sum(p.active))
+    if kept != n_active:
+        raise ValueError(
+            f"shard_particles2: {n_active - kept} active particles fit no "
+            f"shard (outside the box or over capacity "
+            f"{dec.global_box.capacity})"
+        )
+    return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+
+
+def unshard_particles2(p_stacked: Particles, dec: Decomp2) -> Particles:
+    spec = dec.spec
+    ns = dec.local_box.n_slots
+    outs = []
+    i = 0
+    for s0 in range(spec.shards[0]):
+        for s1 in range(spec.shards[1]):
+            loc = jax.tree_util.tree_map(
+                lambda a: a[i * ns : (i + 1) * ns], p_stacked
+            )
+            shift = jnp.asarray(dec.shift(s0, s1), loc.x.dtype)
+            outs.append(loc.replace(x=loc.x + shift))
+            i += 1
+    return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
+
+def migrate_local2(
+    p: Particles,
+    spec: HaloSpec2,
+    local_grid: Grid,
+    local_box: windowed.ActiveBox,
+):
+    """Two-phase sort-free seam migration for the 2-D decomposition: ship
+    axis-0 seam planes, merge, then ship axis-1 seam columns OF THE MERGED
+    SET (so diagonal movers reach the corner device in two hops), then one
+    counting re-bin at input capacity 4C.  Loss accounting as
+    :func:`migrate_local`."""
+    C = local_box.capacity
+    cdims = local_box.cdims
+    bc0, bc1 = cdims[0], cdims[1]
+    rest = local_box.n_cells // (bc0 * bc1)
+    h = local_grid.spacing
+    lost_edge = jnp.zeros((), jnp.int32)
+
+    def ship_axis(p_ext, Cin, axis):
+        S = spec.shards[axis]
+        ax = spec.axes[axis]
+        bca = (bc0, bc1)[axis]
+        big, specs, treedef = windowed.flatten_soa(p_ext)
+        CH = big.shape[1]
+        cols = _leaf_columns(p_ext)
+        xcol, acol = cols["x"], cols["active"]
+        bigc = big.reshape(Cin, bc0, bc1, rest, CH)
+        ca = (
+            jnp.floor(p_ext.x[:, axis] / h).astype(jnp.int32)
+            .reshape(Cin, bc0, bc1, rest)
+            - local_box.offset[axis]
+        )
+        act = p_ext.active.reshape(Cin, bc0, bc1, rest)
+        mv = lambda a: jnp.moveaxis(a, 1 + axis, 1)  # split axis to front
+        bigm = mv(bigc)
+        cam = mv(ca)
+        actm = mv(act)
+        lo = actm[:, 0] & (cam[:, 0] < 0)
+        hi = actm[:, -1] & (cam[:, -1] >= bca)
+        shift = spec.bc[axis] * h
+        dbuf = jnp.where(lo[..., None], bigm[:, 0], 0.0)
+        dbuf = dbuf.at[..., xcol + axis].add(jnp.where(lo, shift, 0.0))
+        ubuf = jnp.where(hi[..., None], bigm[:, -1], 0.0)
+        ubuf = ubuf.at[..., xcol + axis].add(jnp.where(hi, -shift, 0.0))
+        if S > 1:
+            r_up = jax.lax.ppermute(dbuf, ax, [(s, s - 1) for s in range(1, S)])
+            r_dn = jax.lax.ppermute(ubuf, ax, [(s, s + 1) for s in range(S - 1)])
+        else:
+            r_up = jnp.zeros_like(dbuf)
+            r_dn = jnp.zeros_like(ubuf)
+        bigm = bigm.at[:, 0].set(jnp.where(lo[..., None], 0.0, bigm[:, 0]))
+        bigm = bigm.at[:, -1].set(jnp.where(hi[..., None], 0.0, bigm[:, -1]))
+        if bca >= 2:
+            extra = jnp.zeros_like(bigm)
+            extra = extra.at[:, -1].set(r_up)
+            extra = extra.at[:, 0].set(r_dn)
+            blocks = [bigm, extra]
+        else:
+            eu = jnp.zeros_like(bigm).at[:, 0].set(r_up)
+            ed = jnp.zeros_like(bigm).at[:, 0].set(r_dn)
+            blocks = [bigm, eu, ed]
+        ext = jnp.concatenate(blocks, axis=0)
+        Cout = Cin * len(blocks)
+        ext = jnp.moveaxis(ext, 1, 1 + axis)  # restore axis order
+        p_new = windowed.unflatten_soa(
+            ext.reshape(Cout * bc0 * bc1 * rest, CH), specs, treedef
+        )
+        dev = jax.lax.axis_index(ax)
+        edge = jnp.where(dev == 0, jnp.sum(lo.astype(jnp.int32)), 0) + jnp.where(
+            dev == S - 1, jnp.sum(hi.astype(jnp.int32)), 0
+        )
+        return p_new, Cout, edge
+
+    p, Cin, e0 = ship_axis(p, C, 0)
+    lost_edge = lost_edge + e0
+    p, Cin, e1 = ship_axis(p, Cin, 1)
+    lost_edge = lost_edge + e1
+    p_new, lost_rebin = windowed.local_rebin(
+        p, local_grid, local_box, in_capacity=Cin
+    )
+    return p_new, lost_rebin + lost_edge
+
+
+def sharded_explicit_run2(mesh: Mesh, dec: Decomp2, cfg, n_steps: int):
+    """2-D-decomposed explicit run (windowed or pallas engine), per-step
+    two-phase seam migration; diag reductions psum over both mesh axes."""
+    from jax import shard_map
+
+    from ..formulations.explicit import explicit_step
+
+    spec = dec.spec
+    cfgl = cfg.replace(
+        transfer=cfg.transfer if cfg.transfer in ("windowed", "pallas") else "windowed",
+        active_box=dec.local_box,
+        halo=spec,
+        axis_name=spec.axes,
+        prebinned=True,
+        **({"rebin_mode": "none"} if cfg.transfer == "pallas" else {}),
+    )
+    pspec = P((spec.axes[0], spec.axes[1]))
+    rep = P()
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspec, pspec, rep, rep),
+        out_specs=(pspec, rep),
+        check_vma=True,
+    )
+    def run(p, grid, mats, body):
+        def body_fn(carry, _):
+            pp, lost_acc = carry
+            pp, diag = explicit_step(pp, grid, mats, cfgl, body)
+            pp, lost = migrate_local2(pp, spec, grid, dec.local_box)
+            lost = jax.lax.psum(lost, spec.axes)
+            return (pp, lost_acc + lost), (
+                diag["kinetic_energy"],
+                diag["strain_energy"],
+                diag["nnz"],
+            )
+
+        (p_out, lost), (ke, se, nnz) = jax.lax.scan(
+            body_fn, (p, jnp.zeros((), jnp.int32)), None, length=n_steps
+        )
+        return p_out, dict(
+            kinetic_energy=ke, strain_energy=se, nnz=nnz, lost=lost
+        )
+
+    return run
+
+
+def sharded_implicit_run2(mesh: Mesh, dec: Decomp2, cfg, n_steps: int):
+    """2-D-decomposed implicit Newmark run: distributed Newton-CG dots
+    psum over both mesh axes."""
+    from jax import shard_map
+
+    from ..formulations.implicit import implicit_step
+
+    spec = dec.spec
+    cfgl = cfg.replace(
+        transfer=cfg.transfer if cfg.transfer in ("windowed", "pallas") else "windowed",
+        active_box=dec.local_box,
+        halo=spec,
+        axis_name=spec.axes,
+        prebinned=True,
+        **({"rebin_mode": "none"} if cfg.transfer == "pallas" else {}),
+    )
+    pspec = P((spec.axes[0], spec.axes[1]))
+    rep = P()
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspec, pspec, rep, rep),
+        out_specs=(pspec, rep),
+        check_vma=True,
+    )
+    def run(p, grid, mats, body):
+        def body_fn(carry, _):
+            pp, lost_acc = carry
+            pp, diag = implicit_step(pp, grid, mats, cfgl, body)
+            pp, lost = migrate_local2(pp, spec, grid, dec.local_box)
+            lost = jax.lax.psum(lost, spec.axes)
+            return (pp, lost_acc + lost), (
+                diag["newton_iters"],
+                diag["newton_residual"],
+                diag["converged"],
+            )
+
+        (p_out, lost), (iters, rnorm, conv) = jax.lax.scan(
+            body_fn, (p, jnp.zeros((), jnp.int32)), None, length=n_steps
+        )
+        return p_out, dict(
+            newton_iters=iters, newton_residual=rnorm, converged=conv,
+            lost=lost,
+        )
+
+    return run

@@ -57,8 +57,16 @@ def window_nodes(grid: Grid, x: jax.Array, offsets: np.ndarray):
     if grid.valid_lo is not None:
         # halo-sharded local strip: mask phantom planes beyond the global
         # grid edge (parallel/domain.py) so the basis renormalises exactly
-        # as the single-device grid would at its boundary
-        mask = mask & (multi[..., 0] >= grid.valid_lo) & (multi[..., 0] <= grid.valid_hi)
+        # as the single-device grid would at its boundary.  Scalars bound
+        # axis 0 (1-D decomposition); (d,) arrays bound every axis (2-D).
+        vlo = jnp.asarray(grid.valid_lo, jnp.int32).reshape(-1)
+        vhi = jnp.asarray(grid.valid_hi, jnp.int32).reshape(-1)
+        if vlo.shape[0] > 1:
+            mask = mask & jnp.all(multi >= vlo, axis=-1) & jnp.all(
+                multi <= vhi, axis=-1
+            )
+        else:
+            mask = mask & (multi[..., 0] >= vlo[0]) & (multi[..., 0] <= vhi[0])
     if grid.active is not None:
         mask = mask & grid.active[node_ids]
     return node_ids.astype(config.index_dtype()), rel, mask

@@ -59,8 +59,8 @@ class Grid:
     # valid_hi] are phantom padding beyond the *global* grid edge and are
     # masked out of every shape-function window.  Traced scalars so the SPMD
     # program stays uniform across devices.  None => all planes real.
-    valid_lo: Array = None  # () int32 or None
-    valid_hi: Array = None  # () int32 or None
+    valid_lo: Array = None  # () int32 (axis-0) or (d,) int32 or None
+    valid_hi: Array = None  # () int32 (axis-0) or (d,) int32 or None
 
     @property
     def dim(self) -> int:

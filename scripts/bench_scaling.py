@@ -23,7 +23,10 @@ per S plus a summary line.
 
 Env: SCALE_BASE (default 32 cells/shard), SCALE_PPC (2), SCALE_STEPS (10),
      SCALE_SHARDS (comma list, default '1,2,4,8'),
-     SCALE_TRANSFER (pallas | windowed).
+     SCALE_TRANSFER (pallas | windowed),
+     SCALE_MESH (e.g. '2x4': 2-D decomposition over an S0 x S1 mesh —
+     fixed per-device load grows the global grid along BOTH axes;
+     per-step two-phase halo exchange + seam migration).
 """
 
 import json
@@ -64,6 +67,11 @@ def main():
     offs = lme.offsets_for(2, lp)
     rho, E = 1000.0, 1e7
     cel = np.sqrt(E / rho)
+
+    mesh2 = os.environ.get("SCALE_MESH")
+    if mesh2:
+        S0, S1 = (int(v) for v in mesh2.split("x"))
+        return run_2d(S0, S1, base, ppc, n_steps, transfer)
 
     results = {}
     for S in shards:
@@ -165,6 +173,85 @@ def main():
             flush=True,
         )
     return results
+
+
+def run_2d(S0, S1, base, ppc, n_steps, transfer):
+    import jax
+    import jax.numpy as jnp
+
+    from nlpartsol_tpu.formulations.explicit import ExplicitConfig
+    from nlpartsol_tpu.models import materials as M
+    from nlpartsol_tpu.ops import windowed
+    from nlpartsol_tpu.parallel import domain
+    from nlpartsol_tpu.shapefun import lme
+    from nlpartsol_tpu.types import Grid, make_particles
+
+    lp = lme.LMEParams(gamma=3.0)
+    offs = lme.offsets_for(2, lp)
+    rho, E = 1000.0, 1e7
+    cel = np.sqrt(E / rho)
+    n0c, n1c = base * S0, base * S1
+    h = 1.0 / base
+    grid = Grid(dims=(n0c + 1, n1c + 1), spacing=h, origin=(0.0, 0.0))
+    box = windowed.ActiveBox(
+        offset=(0, 0), cdims=(n0c, n1c), capacity=ppc * ppc + 2
+    )
+    i, j, a, b = np.meshgrid(
+        np.arange(n0c), np.arange(n1c), np.arange(ppc), np.arange(ppc),
+        indexing="ij",
+    )
+    x = np.stack(
+        [(i + (a + 0.5) / ppc) * h, (j + (b + 0.5) / ppc) * h], axis=-1
+    ).reshape(-1, 2).astype(np.float32)
+    vol = (h / ppc) ** 2
+    p = make_particles(
+        x,
+        mass=np.full(len(x), rho * vol, np.float32),
+        vol0=np.full(len(x), vol, np.float32),
+    )
+    rng = np.random.default_rng(0)
+    p = p.replace(v=jnp.asarray(0.01 * rng.standard_normal(x.shape), jnp.float32))
+    mats = M.material_table(
+        [M.material(kind="Neo-Hookean-Wriggers", E=E, nu=0.3, rho0=rho)]
+    )
+    cfg = ExplicitConfig(
+        dt=0.25 * h / cel,
+        shapefun="lme",
+        lme_params=lp,
+        kinds=(M.NEO_HOOKEAN,),
+        transfer=transfer,
+        active_box=box,
+    )
+    dec = domain.decompose2(grid, box, (S0, S1), offs)
+    mesh = domain.make_mesh2((S0, S1))
+    ps = domain.shard_particles2(p, dec)
+    gs = domain.shard_grid2(grid, dec)
+    run = jax.jit(domain.sharded_explicit_run2(mesh, dec, cfg, n_steps))
+    body = jnp.zeros((2,), jnp.float32)
+    p1, diag = run(ps, gs, mats, body)
+    jax.block_until_ready(diag["nnz"])
+    t0 = time.perf_counter()
+    p2, diag = run(p1, gs, mats, body)
+    jax.block_until_ready(diag["nnz"])
+    t1 = time.perf_counter()
+    nnz_tot = int(np.asarray(diag["nnz"]).astype(np.int64).sum())
+    spec = dec.spec
+    # per-device halo traffic: both axes, 10 node channels/step
+    halo_mb = 10 * 4 * (
+        (spec.wlo[0] + spec.whi[0]) * spec.ln[1]
+        + (spec.wlo[1] + spec.whi[1]) * spec.ln[0]
+    ) / 1e6
+    res = dict(
+        mesh=f"{S0}x{S1}",
+        np_total=len(x),
+        step_ms=1e3 * (t1 - t0) / n_steps,
+        nnz_per_s=nnz_tot / (t1 - t0),
+        lost=int(np.asarray(diag["lost"])),
+        halo_mb_step=halo_mb,
+        node_mb_dev=dec.local_grid.n_nodes * 4 * 4 / 1e6,
+    )
+    print(json.dumps({"metric": "weak_scaling_2d", **res}), flush=True)
+    return res
 
 
 if __name__ == "__main__":

@@ -496,3 +496,109 @@ def test_halo_explicit_parity_kperiodic_migration():
     np.testing.assert_allclose(x1, x0, rtol=0, atol=5e-5)
     np.testing.assert_allclose(v1, v0, rtol=0, atol=5e-4)
     np.testing.assert_allclose(J1, J0, rtol=0, atol=5e-5)
+
+
+def _problem2(n0=25, n1=17, vx=0.4, vy=0.35, E=1e4):
+    """Band of particles advecting diagonally — crosses seams of BOTH axes
+    of the 2-D decomposition."""
+    h = 1.0 / 8.0
+    dims = (n0, n1)
+    grid = Grid(dims=dims, spacing=h, origin=(0.0, 0.0))
+    xs = [
+        [(i + 0.5) * h, (j + 0.5) * h]
+        for i in range(2, 10)
+        for j in range(2, 7)
+    ]
+    x = np.array(xs, np.float32)
+    vol = h * h
+    rho = 1000.0
+    p = make_particles(
+        x,
+        mass=np.full(len(x), rho * vol, np.float32),
+        vol0=np.full(len(x), vol, np.float32),
+    )
+    v = np.zeros_like(x)
+    v[:, 0] = vx + 0.05 * np.sin(3.0 * x[:, 1])
+    v[:, 1] = vy
+    p = p.replace(v=jnp.asarray(v))
+    mats = M.material_table(
+        [M.material(kind="Neo-Hookean-Wriggers", E=E, nu=0.3, rho0=rho)]
+    )
+    return grid, p, mats, h, np.sqrt(E / rho)
+
+
+@pytest.mark.parametrize("sharded_transfer", ["windowed", "pallas"])
+def test_2d_decomposition_explicit_parity(sharded_transfer):
+    """2-D (S0 x S1) grid decomposition (VERDICT r3 #6): two-phase halo
+    exchange on both axes (corners via two hops), two-phase seam migration,
+    per-axis phantom-plane masking — parity against the single-device run
+    on a 2x4 virtual mesh, both engines."""
+    grid, p, mats, h, cel = _problem2()
+    box = windowed.full_box(grid, capacity=2)
+    lp = lme.LMEParams(gamma=3.0)
+    n_steps = 30
+    cfg = ExplicitConfig(
+        dt=0.3 * h / cel,
+        shapefun="lme",
+        lme_params=lp,
+        kinds=(M.NEO_HOOKEAN,),
+        transfer="windowed",
+        active_box=box,
+    )
+    p_ref = _single_device_run(grid, p, mats, cfg, n_steps)
+
+    cfg = cfg.replace(transfer=sharded_transfer)
+    offs = lme.offsets_for(2, lp)
+    dec = domain.decompose2(grid, box, (2, 4), offs)
+    assert dec.spec.bc == (12, 4) and dec.spec.ln == (18, 10)
+    mesh = domain.make_mesh2((2, 4))
+    ps = domain.shard_particles2(p, dec)
+    gs = domain.shard_grid2(grid, dec)
+    run = jax.jit(domain.sharded_explicit_run2(mesh, dec, cfg, n_steps))
+    p_out, diag = run(ps, gs, mats, jnp.zeros((2,), jnp.float32))
+    assert int(diag["lost"]) == 0
+
+    p_back = domain.unshard_particles2(p_out, dec)
+    pid0, x0, v0, J0 = _by_pid(p_ref)
+    pid1, x1, v1, J1 = _by_pid(p_back)
+    np.testing.assert_array_equal(pid0, pid1)
+    np.testing.assert_allclose(x1, x0, rtol=0, atol=5e-5)
+    np.testing.assert_allclose(v1, v0, rtol=0, atol=5e-4)
+    np.testing.assert_allclose(J1, J0, rtol=0, atol=5e-5)
+
+
+def test_2d_decomposition_implicit_parity():
+    """Implicit Newmark on the 2-D decomposition: distributed Newton-CG
+    with psums over both mesh axes."""
+    grid, p, mats, h, cel = _problem2(vx=0.3, vy=0.25)
+    box = windowed.full_box(grid, capacity=2)
+    lp = lme.LMEParams(gamma=3.0)
+    n_steps = 6
+    cfg = ImplicitConfig(
+        dt=1.0 * h / cel,
+        shapefun="lme",
+        lme_params=lp,
+        kinds=(M.NEO_HOOKEAN,),
+        transfer="windowed",
+        active_box=box,
+        newton_maxiter=12,
+        cg_maxiter=100,
+    )
+    p_ref = _single_device_run(grid, p, mats, cfg, n_steps)
+
+    offs = lme.offsets_for(2, lp)
+    dec = domain.decompose2(grid, box, (2, 4), offs)
+    mesh = domain.make_mesh2((2, 4))
+    ps = domain.shard_particles2(p, dec)
+    gs = domain.shard_grid2(grid, dec)
+    run = jax.jit(domain.sharded_implicit_run2(mesh, dec, cfg, n_steps))
+    p_out, diag = run(ps, gs, mats, jnp.zeros((2,), jnp.float32))
+    assert int(diag["lost"]) == 0
+    assert bool(np.all(np.asarray(diag["converged"])))
+
+    p_back = domain.unshard_particles2(p_out, dec)
+    pid0, x0, v0, J0 = _by_pid(p_ref)
+    pid1, x1, v1, J1 = _by_pid(p_back)
+    np.testing.assert_array_equal(pid0, pid1)
+    np.testing.assert_allclose(x1, x0, rtol=0, atol=1e-4)
+    np.testing.assert_allclose(v1, v0, rtol=0, atol=2e-3)
