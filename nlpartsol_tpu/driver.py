@@ -49,10 +49,10 @@ def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_b
         shp_kw["lme_params"] = lme_mod.LMEParams(**setup.shapefun_params)
     formulation_ = getattr(setup, "formulation", "u")
     _pallas_formulations = (
-        # -u: explicit + implicit + static; -upw: explicit two-phase
+        # -u: explicit + implicit + static + DEM; -upw: explicit two-phase
         formulation_ == "u"
         and setup.solver.scheme
-        in (EXPLICIT_SCHEMES | IMPLICIT_SCHEMES | STATIC_SCHEMES)
+        in (EXPLICIT_SCHEMES | IMPLICIT_SCHEMES | STATIC_SCHEMES | DEM_SCHEMES)
     ) or (formulation_ == "upw" and setup.solver.scheme in EXPLICIT_SCHEMES)
     if transfer == "pallas" and (
         not _pallas_formulations

@@ -106,3 +106,50 @@ def test_dem_matches_newmark_small_amplitude():
     ud, un = np.asarray(p_d.dis), np.asarray(p_n.dis)
     scale = np.abs(un).max()
     assert np.abs(ud - un).max() / scale < 0.08
+
+
+def test_dem_pallas_parity_and_energy():
+    """Fused-pallas DEM (VERDICT r3 #4 stretch): matches the windowed
+    engine and keeps the discrete-gradient grid-energy identity."""
+    import jax
+
+    from nlpartsol_tpu.formulations.explicit import to_slot_layout
+    from nlpartsol_tpu.ops import windowed as win
+    from nlpartsol_tpu.shapefun import lme as lme_mod
+
+    grid, p, mats, L, h = bar_setup("lme")
+    box = win.full_box(grid, capacity=8)
+    cel = np.sqrt(E_ / RHO)
+    n_steps = 10
+    outs = {}
+    for transfer in ("windowed", "pallas"):
+        cfg = DEMConfig(
+            dt=1.0 * h / cel,
+            shapefun="lme",
+            lme_params=lme_mod.LMEParams(gamma=3.0),
+            kinds=(M.NEO_HOOKEAN,),
+            transfer=transfer,
+            active_box=box,
+        )
+        pp = to_slot_layout(p, grid, box)
+        step = jax.jit(dem_step, static_argnums=(3,))
+        einc = []
+        for _ in range(n_steps):
+            pp, diag = step(pp, grid, mats, cfg, jnp.zeros((2,), jnp.float32))
+            assert bool(diag["converged"])
+            einc.append(float(diag["grid_energy_increment"]))
+            escale = float(diag["grid_kinetic_energy"]) + 1e-12
+        act = np.asarray(pp.active)
+        pid = np.asarray(pp.pid)[act]
+        order = np.argsort(pid)
+        outs[transfer] = (
+            np.asarray(pp.x)[act][order],
+            np.asarray(pp.v)[act][order],
+            np.abs(np.asarray(einc)).max() / escale,
+        )
+    xw, vw, ew = outs["windowed"]
+    xp, vp, ep = outs["pallas"]
+    np.testing.assert_allclose(xp, xw, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(vp, vw, rtol=0, atol=1e-5)
+    # energy-exactness of the discrete gradient survives the fused engine
+    assert ep < 5e-4, ep
