@@ -533,7 +533,7 @@ def _dem_step_pallas(
 def run(p, grid, mats, cfg, n_steps, body_accel=None):
     if body_accel is None:
         body_accel = jnp.zeros((p.dim,), p.x.dtype)
-    if cfg.transfer == "windowed":
+    if cfg.transfer in ("windowed", "pallas"):
         from .explicit import to_slot_layout
 
         p = to_slot_layout(p, grid, cfg.active_box)
