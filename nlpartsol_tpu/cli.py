@@ -46,11 +46,12 @@ def main(argv=None):
     )
     ap.add_argument(
         "--transfer",
-        choices=["scatter", "windowed", "pallas"],
-        default="windowed",
-        help="particle<->grid engine: 'windowed' (scatter-free XLA; default), "
-        "'pallas' (fused TPU kernels; explicit+implicit 2D LME -u), "
-        "'scatter' (general fallback)",
+        choices=["auto", "scatter", "windowed", "pallas"],
+        default="auto",
+        help="particle<->grid engine: 'auto' (default; fused TPU kernels "
+        "when the step is eligible, XLA windowed engine otherwise), "
+        "'pallas' (force-request fused kernels), 'windowed' (scatter-free "
+        "XLA), 'scatter' (general fallback)",
     )
     ap.add_argument("--platform", default=None, help="jax platform override (e.g. cpu)")
     ap.add_argument("--steps", type=int, default=None, help="override N time steps")

@@ -28,7 +28,13 @@ from .io import vtk
 from .ops import windowed
 from .shapefun import lme as lme_mod
 
-EXPLICIT_SCHEMES = {"NPC-FS", "FE", "Verlet", "Generalized-alpha"}
+EXPLICIT_SCHEMES = {"NPC-FS", "Verlet"}
+# momentum-form forward Euler and Generalized-alpha run through the same
+# slot-layout engines but their own step functions
+# (U-Forward-Euler.c:19, U-Generalized-Alpha.c:18; dispatched from
+# driver-nl-partsol.c:349-379)
+FE_SCHEMES = {"FE", "Forward-Euler"}
+GA_SCHEMES = {"Generalized-alpha"}
 IMPLICIT_SCHEMES = {"Newmark-beta-Finite-Strains", "Newmark-beta"}
 STATIC_SCHEMES = {"Static"}
 DEM_SCHEMES = {"Discrete-Energy-Momentum"}
@@ -40,6 +46,11 @@ def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_b
 
     if isinstance(setup.grid, FEMesh):
         transfer = "scatter"  # no slot layout on unstructured meshes
+    if transfer == "auto":
+        # fused TPU kernels whenever the step is eligible (the check below
+        # falls back to the XLA windowed engine otherwise) — the production
+        # default, so the reference workflow gets the fast engine unflagged
+        transfer = "pallas"
     if dt is None:
         if sp.cel <= 0:
             raise ValueError("solver Cel (celerity) required to compute dt")
@@ -94,6 +105,12 @@ def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_b
                 "Discrete-Energy-Momentum has no fracture hooks; use the "
                 "explicit or Newmark-beta schemes"
             )
+        if setup.solver.scheme in FE_SCHEMES | GA_SCHEMES:
+            raise ValueError(
+                "Forward-Euler / Generalized-alpha have no fracture hooks "
+                "(the reference wires Driver_EigenErosion into the NPC-FS "
+                "and Newmark-beta drivers only); use those schemes"
+            )
         if transfer == "scatter":
             raise ValueError(
                 "fracture drivers need the slot-layout Beps sums: use "
@@ -109,6 +126,12 @@ def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_b
             damage=fracture_, beps_reach=frac_mod.beps_reach(ceps_max)
         )
     common.update(damage_kw)
+    if formulation in ("up", "upw") and sp.scheme in FE_SCHEMES | GA_SCHEMES:
+        raise ValueError(
+            f"scheme {sp.scheme!r} is a single-phase (-u) integrator; the "
+            "mixture formulations support the explicit Verlet and "
+            "Newmark-beta schemes only (driver-nl-partsol.c:426-492)"
+        )
     if formulation == "up":
         from .formulations.up import UpConfig
 
@@ -144,6 +167,17 @@ def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_b
         return DEMConfig(
             newton_tol=sp.tol,
             newton_maxiter=sp.max_iter,
+            **common,
+        )
+    if sp.scheme in FE_SCHEMES | GA_SCHEMES:
+        # forward_euler_step / generalized_alpha_step run through the
+        # windowed/scatter engines (no fused-pallas path)
+        if transfer == "pallas":
+            transfer = "windowed"
+        common["transfer"] = transfer
+        return ExplicitConfig(
+            scheme="FE" if sp.scheme in FE_SCHEMES else "Generalized-alpha",
+            ga_rb=sp.rb,
             **common,
         )
     if sp.scheme in EXPLICIT_SCHEMES:
@@ -198,7 +232,7 @@ def safe_rebin_period(v, spacing, dt, k_max: int = 16) -> int:
 
 def run_simulation(
     setup: SimulationSetup,
-    transfer: str = "windowed",
+    transfer: str = "auto",
     active_box=None,
     write_outputs: bool = True,
     n_steps: Optional[int] = None,
@@ -214,6 +248,10 @@ def run_simulation(
         # unstructured T3/Q4/T4/H8 background mesh: no cell-window slot
         # layout exists — transfers route through the general ScatterEngine
         transfer = "scatter"
+    if transfer == "auto":
+        # default: fused kernels when eligible (make_step_config falls back
+        # to the windowed engine for ineligible steps)
+        transfer = "pallas"
     if transfer in ("windowed", "pallas") and active_box is None:
         # auto-size: full-grid box, capacity = current max per cell × 2
         active_box = windowed.default_box(
@@ -246,6 +284,20 @@ def run_simulation(
 
             def step(pp, g, mats_, cfg_, body, traction=None, t_area=None):
                 return dem_jit(pp, g, mats_, cfg_, body)
+
+        elif isinstance(cfg, ExplicitConfig) and cfg.scheme in FE_SCHEMES:
+            from .formulations.integrators import forward_euler_step
+
+            is_implicit = False
+            step = jax.jit(forward_euler_step, static_argnums=(3,))
+        elif isinstance(cfg, ExplicitConfig) and cfg.scheme in GA_SCHEMES:
+            from .formulations.integrators import generalized_alpha_step
+
+            is_implicit = False
+            ga_jit = jax.jit(generalized_alpha_step, static_argnums=(3, 5))
+
+            def step(pp, g, mats_, cfg_, body, traction=None, t_area=None):
+                return ga_jit(pp, g, mats_, cfg_, body, cfg_.ga_rb, traction, t_area)
 
         else:
             is_implicit = isinstance(cfg, ImplicitConfig)

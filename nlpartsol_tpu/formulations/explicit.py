@@ -85,6 +85,14 @@ class ExplicitConfig:
     # particles already in slot layout (the sharded driver re-bins at the
     # end of each step after migration): skip the step's own binning
     prebinned: bool = struct.field(pytree_node=False, default=False)
+    # explicit scheme selector (reference driver-nl-partsol.c:349-379
+    # dispatch): 'NPC-FS' (Newmark predictor-corrector, explicit_step),
+    # 'FE' (momentum-form forward Euler, integrators.forward_euler_step),
+    # 'Generalized-alpha' (integrators.generalized_alpha_step)
+    scheme: str = struct.field(pytree_node=False, default="NPC-FS")
+    # spectral radius r_b for Generalized-alpha
+    # (rb-Generalized-alpha deck key, Read_GramsTime.c:152-155)
+    ga_rb: float = struct.field(pytree_node=False, default=0.6)
 
 
 from .common import found_lost, make_engine, shapefun_eval

@@ -89,6 +89,9 @@ class SolverParams:
     gamma: float = 0.5
     tol: float = 1e-5
     max_iter: int = 20
+    # Generalized-alpha spectral radius (rb-Generalized-alpha deck key,
+    # Read_GramsTime.c:152-155; used by U-Generalized-Alpha.c:126-129)
+    rb: float = 0.6
 
 
 @dataclass
@@ -160,8 +163,9 @@ def _solver_params(blocks) -> SolverParams:
     sp.epsilon = float(p.get("Epsilon", sp.epsilon))
     sp.beta = float(p.get("Beta-Newmark-beta", sp.beta))
     sp.gamma = float(p.get("Gamma-Newmark-beta", sp.gamma))
-    sp.tol = float(p.get("TOL-Newmark-beta", sp.tol))
+    sp.tol = float(p.get("TOL-Newmark-beta", p.get("TOL-Generalized-alpha", sp.tol)))
     sp.max_iter = int(p.get("Max-Iter", sp.max_iter))
+    sp.rb = float(p.get("rb-Generalized-alpha", sp.rb))
     return sp
 
 

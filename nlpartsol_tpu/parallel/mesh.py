@@ -1,20 +1,16 @@
-"""Device-mesh parallelism for the MPM pipeline.
+"""REPLICATED-GRID BASELINE FIXTURE — not the production backend.
 
-Reference parallelism (SURVEY.md §2.9): OpenMP threads + sequential PETSc —
-no multi-device story at all.  The TPU-native decomposition implemented
-here:
-
-* **particle data parallelism** (this module): particles are sharded over
-  the mesh axis ``'p'``; the background grid vectors are replicated.  All
-  particle-local work (shape functions, kinematics, constitutive — the
-  overwhelming FLOP share) is embarrassingly parallel; the single collective
-  seam is the P2G scatter, combined with an ``psum`` over ICI
-  (ops/sparse.py).  G2P is a local gather from the replicated grid.
-* grid-domain (block-row) partitioning with halo exchange is the planned
-  second axis for grids too large to replicate (SURVEY.md §7 step 7).
-
-Everything rides ``jax.sharding.Mesh`` + ``shard_map``; the same code runs
-on one chip (axis absent) or N chips.
+The production distributed backend is ``parallel/domain.py`` (grid-domain
+decomposition: sharded grid strips, ppermute halo exchange, seam particle
+migration) plus ``parallel/multihost.py``.  This module is kept ONLY as the
+simplest-possible oracle for it: particles sharded over a 1-D mesh axis
+``'p'`` with the background grid fully REPLICATED (the direct analog of the
+reference's OpenMP particle loops, SURVEY.md §2.9).  The single collective
+is a ``psum`` of the P2G scatter over the replicated grid, so its output is
+trivially equal to the single-device step — which is exactly what makes it
+a useful cross-check for the domain-decomposed engine in
+``tests/test_parallel.py``.  It does not scale to grids too large to
+replicate; do not build features on it — use ``domain.py``.
 """
 
 from __future__ import annotations

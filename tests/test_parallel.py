@@ -1,5 +1,9 @@
-"""Multi-device tests on the virtual 8-device CPU mesh: the sharded step
-must match the single-device step to float tolerance."""
+"""Replicated-grid BASELINE parallelism tests (parallel/mesh.py, the
+explicitly-demoted oracle path): the particle-sharded step with a
+replicated grid must match the single-device step to float tolerance.
+The production domain-decomposed backend (parallel/domain.py) is covered
+by tests/test_domain.py; this file only keeps the baseline fixture honest
+so it can serve as a cross-check."""
 
 import numpy as np
 import jax
