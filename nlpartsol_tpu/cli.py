@@ -56,6 +56,18 @@ def main(argv=None):
     ap.add_argument("--platform", default=None, help="jax platform override (e.g. cpu)")
     ap.add_argument("--steps", type=int, default=None, help="override N time steps")
     ap.add_argument("--no-output", action="store_true")
+    ap.add_argument(
+        "--backup-every", type=int, default=None, metavar="N",
+        help="write a resumable checkpoint to <out_dir>/backup.npz every N "
+        "steps (overrides the deck's Out-backup key)",
+    )
+    ap.add_argument(
+        "--resume", default=None, metavar="FILE",
+        help="resume the deck's schedule from a backup checkpoint "
+        "(continues from the saved step to the original end step — the "
+        "reference's i0/InitialTimeStep semantics with state actually "
+        "loaded, Read_GramsTime.c:140)",
+    )
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -90,29 +102,26 @@ def main(argv=None):
             setup.fracture = fracture
         return setup
 
+    run_kw = dict(
+        transfer=args.transfer,
+        write_outputs=not args.no_output,
+        n_steps=args.steps,
+        print_convergence=args.Print_Convergence,
+        backup_every=args.backup_every,
+    )
     if args.two_stage:
         # reference -ff flow (driver-nl-partsol.c:206-292): static gravity
         # preload, then continue dynamically with the particle state
         static_setup = _apply_formulation(build_simulation(args.two_stage[0]))
-        p_static, _ = run_simulation(
-            static_setup, transfer=args.transfer,
-            write_outputs=not args.no_output, n_steps=args.steps,
-            print_convergence=args.Print_Convergence,
-        )
+        p_static, _ = run_simulation(static_setup, **run_kw)
         dyn_setup = _apply_formulation(build_simulation(args.two_stage[1]))
         dyn_setup = dyn_setup.__class__(**{**dyn_setup.__dict__, "particles": p_static})
-        p, hist = run_simulation(
-            dyn_setup, transfer=args.transfer,
-            write_outputs=not args.no_output, n_steps=args.steps,
-            print_convergence=args.Print_Convergence,
-        )
+        # --resume applies to the dynamic stage (the static preload is
+        # cheap and stateless relative to the saved dynamic schedule)
+        p, hist = run_simulation(dyn_setup, resume=args.resume, **run_kw)
     else:
         setup = _apply_formulation(build_simulation(args.sim_file))
-        p, hist = run_simulation(
-            setup, transfer=args.transfer,
-            write_outputs=not args.no_output, n_steps=args.steps,
-            print_convergence=args.Print_Convergence,
-        )
+        p, hist = run_simulation(setup, resume=args.resume, **run_kw)
     return 0
 
 

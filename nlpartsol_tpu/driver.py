@@ -240,9 +240,27 @@ def run_simulation(
     check_lost: bool = True,
     profile_dir: Optional[str] = None,
     print_convergence: bool = False,
+    backup_every: Optional[int] = None,
+    resume: Optional[str] = None,
 ):
-    """Run the configured simulation; returns (particles, history dict)."""
+    """Run the configured simulation; returns (particles, history dict).
+
+    ``backup_every``: write a resumable checkpoint snapshot
+    (io/checkpoint.py) to ``<out_dir>/backup.npz`` every N steps (overrides
+    the deck's ``Out-backup`` key; 0/None = deck value).  ``resume``: path
+    to such a snapshot — the run continues the ORIGINAL schedule from the
+    saved step (the reference's i0/InitialTimeStep semantics,
+    Read_GramsTime.c:140, Types.h:819, with the state actually loaded —
+    the reference only ever declared the Backup_* globals, Globals.h:105-109).
+    """
     from .shapefun.femesh import FEMesh
+
+    resume_state = None
+    if resume:
+        from .io.checkpoint import load_checkpoint
+
+        resume_state = load_checkpoint(resume)
+        setup.particles = resume_state[0]
 
     if isinstance(setup.grid, FEMesh):
         # unstructured T3/Q4/T4/H8 background mesh: no cell-window slot
@@ -394,7 +412,13 @@ def run_simulation(
         if have_traction:
             ci = jnp.minimum(i, t_curves.shape[1] - 1)
             traction = jnp.einsum("g,gpd->pd", t_curves[:, ci], t_masks)
-            t_area = area0
+            # t_masks/area0 are in ORIGINAL seeding order; the carry pp is
+            # slot-permuted (and re-permuted every windowed step), so map
+            # the tables through the stable particle identity pp.pid
+            pid = jnp.minimum(pp.pid, traction.shape[0] - 1)
+            sel = pp.active[:, None]
+            traction = jnp.where(sel, traction[pid], 0.0)
+            t_area = jnp.where(pp.active, area0[pid], 0.0)
         step_kw = {}
         if rebin is not None:
             step_kw["rebin"] = rebin
@@ -536,6 +560,25 @@ def run_simulation(
     t0 = time.time()
     i0 = setup.solver.i0
     i_end = i0 + n
+    backup_every = (
+        int(getattr(setup, "backup_every", 0) or 0)
+        if backup_every is None
+        else int(backup_every)
+    )
+    if resume_state is not None:
+        # continue the ORIGINAL schedule from the saved step (i0 semantics)
+        step0 = resume_state[1]
+        if not (i0 <= step0 <= i_end):
+            raise ValueError(
+                f"resume checkpoint at step {step0} outside the schedule "
+                f"[{i0}, {i_end}] (i0={i0}, N={n})"
+            )
+        i0 = step0
+        n = i_end - i0
+        if n == 0:
+            if progress:
+                print("resume: schedule already complete")
+            return p, history
     nnz_total = 0
     # chunk layout: boundaries at every output event (VTK multiples of
     # out_every + each CSV event's i_start/i_step/i_end schedule) so every
@@ -543,6 +586,10 @@ def run_simulation(
     # small, so only a handful of distinct scan jits compile
     bounds = {i_end - 1}
     bounds.update(s for s in range(i0, i_end) if s % setup.out_every == 0)
+    if backup_every:
+        bounds.update(
+            s for s in range(i0, i_end) if (s + 1) % backup_every == 0
+        )
     for ev in csv_events:
         bounds.update(
             s
@@ -607,6 +654,16 @@ def run_simulation(
                         scan_chunk = make_scan(cfg)
             i = b + 1
             last = b
+            if backup_every and (last + 1) % backup_every == 0:
+                # periodic resumable snapshot (rolling single file; written
+                # independently of write_outputs — it is state persistence,
+                # not a result)
+                from .io.checkpoint import save_checkpoint
+
+                with stages("backup"):
+                    save_checkpoint(
+                        os.path.join(setup.out_dir, "backup.npz"), p, last + 1
+                    )
             if write_outputs and (last % setup.out_every == 0):
                 with stages("vtk_output"):
                     vtk.write_particles_vtk(

@@ -118,6 +118,11 @@ class SimulationSetup:
     formulation: str = "u"
     mixtures: object = None  # formulations.upw.MixtureTable for -upw
     pw_dirichlet: list = field(default_factory=list)  # [(node_ids, curve)]
+    # periodic checkpoint backup: write a resumable snapshot every N steps
+    # (Out-backup deck key in GramsOutputs; the reference declares
+    # Backup_* globals but never implements them, Globals.h:105-109 —
+    # SURVEY §5.4 assigns this as new required work). 0 = off.
+    backup_every: int = 0
     # nonlocal fracture driver: None | 'eigenerosion' | 'eigensoftening'
     # (the reference's --Fracture-Modulus CLI switch /
     # Driver_EigenErosion/Driver_EigenSoftening globals,
@@ -421,9 +426,11 @@ def build_simulation(path: str) -> SimulationSetup:
     out = find(blocks, "GramsOutputs")
     out_dir, out_every = "output", 100
     vtk_fields = None
+    backup_every = 0
     if out is not None:
         out_every = int(out.attrs.get("i", out_every))
         out_dir = str(out.props.get("DIR", out.attrs.get("DIR", out_dir)))
+        backup_every = int(out.props.get("Out-backup", backup_every))
         from . import vtk as vtk_mod
 
         vtk_fields = vtk_mod.fields_from_outputs(out.props)
@@ -525,6 +532,7 @@ def build_simulation(path: str) -> SimulationSetup:
         neumann=neumann,
         out_dir=out_dir,
         out_every=out_every,
+        backup_every=backup_every,
         vtk_fields=vtk_fields,
         csv_events=csv_events,
         formulation=formulation,

@@ -585,3 +585,124 @@ def test_transfer_auto_selects_engine(bar_case):
     setup = build_simulation(str(bar_case / "sim.nlp"))
     cfg = make_step_config(setup, transfer="auto")
     assert cfg.transfer == "pallas"
+
+
+def test_backup_and_resume_reproduces_trajectory(bar_case, tmp_path, monkeypatch):
+    """Kill-and-resume (VERDICT r4 #6): a run interrupted at the backup
+    step, resumed from <out_dir>/backup.npz, reproduces the uninterrupted
+    trajectory (reference i0/InitialTimeStep semantics with state actually
+    loaded; the reference's own Backup_* globals are dead, Globals.h:105-109)."""
+    monkeypatch.chdir(tmp_path)
+
+    def fresh_setup():
+        setup = build_simulation(str(bar_case / "sim.nlp"))
+        x = np.asarray(setup.particles.x)
+        v = 0.01 * np.stack([np.sin(np.pi * x[:, 0] / 1.0), np.zeros(len(x))], -1)
+        setup.particles = setup.particles.replace(v=jnp.asarray(v, jnp.float32))
+        return setup
+
+    from nlpartsol_tpu.driver import run_simulation
+
+    # uninterrupted: 20 steps
+    p_full, _ = run_simulation(
+        fresh_setup(), write_outputs=False, progress=False, n_steps=20
+    )
+    # interrupted: first 10 steps with backups every 10 (simulated kill)
+    run_simulation(
+        fresh_setup(), write_outputs=False, progress=False, n_steps=10,
+        backup_every=10,
+    )
+    bkp = os.path.join("out", "backup.npz")
+    assert os.path.exists(bkp)
+    from nlpartsol_tpu.io.checkpoint import load_checkpoint
+
+    _, step0, _ = load_checkpoint(bkp)
+    assert step0 == 10
+    # resumed: continues the 20-step schedule from step 10
+    p_res, hist = run_simulation(
+        fresh_setup(), write_outputs=False, progress=False, n_steps=20,
+        resume=bkp,
+    )
+    assert len(hist["kinetic_energy"]) == 10  # only the remaining steps ran
+    # compare by stable particle identity (slot layouts may differ)
+    act_f = np.asarray(p_full.active)
+    act_r = np.asarray(p_res.active)
+    xf = np.asarray(p_full.x)[act_f][np.argsort(np.asarray(p_full.pid)[act_f])]
+    xr = np.asarray(p_res.x)[act_r][np.argsort(np.asarray(p_res.pid)[act_r])]
+    np.testing.assert_allclose(xr, xf, rtol=1e-5, atol=1e-8)
+
+
+def test_cli_backup_resume_and_deck_key(bar_case, monkeypatch):
+    monkeypatch.chdir(bar_case)
+    txt = (bar_case / "sim.nlp").read_text().replace(
+        "DIR=out", "DIR=out\n        Out-backup=5"
+    )
+    (bar_case / "sim.nlp").write_text(txt)
+    setup = build_simulation(str(bar_case / "sim.nlp"))
+    assert setup.backup_every == 5
+
+    from nlpartsol_tpu.cli import main
+
+    rc = main(["-f", "sim.nlp", "--steps", "5", "--no-output"])
+    assert rc == 0
+    assert os.path.exists("out/backup.npz")
+    rc = main(["-f", "sim.nlp", "--steps", "10", "--no-output",
+               "--resume", "out/backup.npz"])
+    assert rc == 0
+
+
+def test_traction_alignment_windowed_vs_scatter(bar_case, tmp_path, monkeypatch):
+    """Neumann tractions are defined on ORIGINAL particle ids; the windowed
+    slot permutation must not scramble them (regression: tables are routed
+    through the stable pid)."""
+    # add an end-load on the last particle column
+    setup0 = build_simulation(str(bar_case / "sim.nlp"))
+    x0 = np.asarray(setup0.particles.x)
+    right_ids = np.where(x0[:, 0] > x0[:, 0].max() - 0.03)[0]
+    (bar_case / "load_ids.txt").write_text("\n".join(map(str, right_ids)))
+    (bar_case / "pull.txt").write_text("CONSTANT_CURVE SCALE#1e4\n")
+    txt = (bar_case / "sim.nlp").read_text().replace(
+        "One-Phase-Analysis",
+        "Define-Neumann-Boundary (File=load_ids.txt) {\n"
+        "    BcNeumann T.x pull.txt\n"
+        "}\nOne-Phase-Analysis",
+        1,
+    )
+    # free the right end so the traction does work
+    txt = txt.replace(
+        "GramsBoundary (File=right.txt) {\n"
+        "        BcDirichlet V.x zero.txt\n"
+        "        BcDirichlet V.y zero.txt\n"
+        "    }\n    ", "", 1)
+    (bar_case / "sim.nlp").write_text(txt)
+    monkeypatch.chdir(tmp_path)
+
+    from nlpartsol_tpu.driver import run_simulation
+
+    import jax
+
+    perm = np.random.default_rng(3).permutation(setup0.particles.count)
+    outs = {}
+    for transfer in ("windowed", "scatter"):
+        setup = build_simulation(str(bar_case / "sim.nlp"))
+        assert setup.neumann, "deck lost its Neumann block"
+        # scramble the storage order (pid tracks the ORIGINAL identity, so
+        # the Neumann id lists must still address the right particles even
+        # though slot order now differs from seeding order)
+        shuffled = jax.tree_util.tree_map(
+            lambda a: a[perm], setup.particles
+        )
+        setup.particles = shuffled
+        p, _ = run_simulation(
+            setup, transfer=transfer, write_outputs=False, progress=False,
+            n_steps=8,
+        )
+        act = np.asarray(p.active)
+        order = np.argsort(np.asarray(p.pid)[act])
+        outs[transfer] = np.asarray(p.x)[act][order]
+    # the bar must actually stretch under the load...
+    assert outs["scatter"][:, 0].max() > x0[:, 0].max() + 1e-6
+    # ...identically under both engines
+    np.testing.assert_allclose(
+        outs["windowed"], outs["scatter"], rtol=1e-5, atol=1e-8
+    )
