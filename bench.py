@@ -190,6 +190,11 @@ def main():
     # warmup + compile
     p1, nnz = fn(p)
     p1.x.block_until_ready()
+    steps_run = (
+        max(1, n_steps // cfg.rebin_every) * cfg.rebin_every
+        if cfg.rebin_every > 1
+        else n_steps
+    )
     # timed run (continue from warmed state so the pattern is realistic)
     t0 = time.perf_counter()
     p2, nnz = fn(p1)
@@ -209,6 +214,47 @@ def main():
         except Exception:
             pass
 
+    # --- ON-DEVICE value-parity gate (VERDICT r4 #2) ---
+    # The headline number alone would not notice a Mosaic lowering
+    # miscompile (round 1 hit real bf16 matmul corruption on TPU, commit
+    # 79d31c3).  Recompute the warmup trajectory (steps_run fused-pallas
+    # steps from the same start state) through the XLA windowed engine ON
+    # THE SAME DEVICE and require agreement; a lowering bug produces O(1)
+    # divergence, engine summation-order noise stays ~1e-5.
+    extra = {}
+    if transfer == "pallas" and os.environ.get("BENCH_PARITY", "1") != "0":
+        cfg_w = cfg.replace(transfer="windowed", rebin_every=1)
+
+        def wd(pp, _):
+            pp, diag = explicit_step(pp, grid, mats, cfg_w, body)
+            return pp, diag["nnz"]
+
+        wfn = jax.jit(lambda pp: jax.lax.scan(wd, pp, None, length=steps_run))
+        pw, _ = wfn(p)
+        pw.x.block_until_ready()
+
+        def by_pid(pp):
+            act = np.asarray(pp.active)
+            pid = np.asarray(pp.pid)[act]
+            o = np.argsort(pid)
+            return np.asarray(pp.x)[act][o], np.asarray(pp.v)[act][o], pid[o]
+
+        xp_, vp_, pid_p = by_pid(p1)
+        xw_, vw_, pid_w = by_pid(pw)
+        if len(pid_p) != len(pid_w) or not np.array_equal(pid_p, pid_w):
+            extra = {"parity_ok": False, "parity_error": "particle sets differ"}
+        else:
+            rel_dx = float(np.max(np.abs(xp_ - xw_)) / h)
+            v_scale = max(float(np.max(np.abs(vw_))), 1e-12)
+            rel_dv = float(np.max(np.abs(vp_ - vw_)) / v_scale)
+            extra = {
+                "parity_ok": bool(rel_dx < 1e-3 and rel_dv < 1e-2),
+                "parity_rel_dx": rel_dx,
+                "parity_rel_dv": rel_dv,
+            }
+        if not extra.get("parity_ok", False):
+            print(f"# PARITY FAILURE: {extra}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -216,6 +262,7 @@ def main():
                 "value": value,
                 "unit": "nnz/s",
                 "vs_baseline": vs_baseline,
+                **extra,
             }
         )
     )
