@@ -71,9 +71,25 @@ _MAT_KEYS = {
     "J2-degradated": "J2_degradated",
     "Viscosity": "viscosity",
     "n-Macdonald": "n_macdonald",
+    "Macdonald-parameter": "n_macdonald",
     "Compressibility": "compressibility",
+    "Reference-Pressure": "reference_pressure",
     "Fbar": "alpha_fbar",
     "alpha-Fbar": "alpha_fbar",
+    # Borja frictional family (reference Plasticity/Lade-Duncan.c reader
+    # keys; shared by Matsuoka-Nakai / Lade-Duncan / Modified-Lade-Duncan)
+    "a1": "a1_borja",
+    "a2": "a2_borja",
+    "a3": "a3_borja",
+    "alpha": "alpha_borja",
+    "Atmospheric-pressure": "atmospheric_pressure",
+    "m-Frictional": "m_frictional",
+    "EPS-0": "plastic_strain_0",
+    # Bingham (Papanastasiou) regularisation
+    "Fluidity-parameter": "fluidity_param",
+    # Mooney-Rivlin moduli (reference mu_Ogden[0..1])
+    "mu-1": "mu1_mr",
+    "mu-2": "mu2_mr",
 }
 
 

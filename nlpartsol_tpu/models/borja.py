@@ -71,8 +71,14 @@ def _d_kappa_d_lambda(a1_, a2_, a3_, Lam, I1):
     return (1.0 - a3_ * Lam) * a1_ * jnp.exp(a2_ * I1) * jnp.exp(-a3_ * Lam)
 
 
-def _yield_fns(kind: str):
-    """Returns (F, dF_dT, dF_dkappa, dG_dT, ddG_ddT, ddG_dT_dkpsi)."""
+def _yield_fns(kind: str, pa=0.0, m=0.0):
+    """Returns (F, dF_dT, dF_dkappa, dG_dT, ddG_ddT, ddG_dT_dkpsi).
+
+    ``pa``/``m`` (atmospheric pressure / pressure-sensitivity exponent) are
+    only used by the modified-lade-duncan branch: K = c0 + κ·(pa/I1)^m
+    (Modified-Lade-Duncan.c:1063-1197; the general form is the reference's
+    own Borja harness eval_K1/eval_b1,
+    scripts/Borja-Constitutive-Models/Frictional-Monolithic.c:659-717)."""
     cbrt = jnp.cbrt
 
     if kind == "matsuoka-nakai":
@@ -167,6 +173,83 @@ def _yield_fns(kind: str):
                 3.0 * cbrt(_safe(K2))[..., None] ** 2
             )
 
+    elif kind == "modified-lade-duncan":
+        # K = 27 + κ·(pa/I1)^m; pressure-sensitive Lade-Duncan cone.
+        # b = m·κ·(pa/I1)^m·(∛I3/I1) is the I1-derivative correction.
+
+        def pw(I1):
+            # (pa/I1)^m — both pa and I1 are negative in compression, so
+            # the ratio is positive; floor it against stray tensile states
+            return jnp.power(jnp.maximum(pa / _safe(I1), 1e-12), m)
+
+        def F(T, kap):
+            I1, _, I3 = _invariants(T)
+            K1 = 27.0 + kap * pw(I1)
+            return cbrt(K1 * I3) - I1
+
+        def dF_dT(T, kap):
+            I1, _, I3 = _invariants(T)
+            K1 = 27.0 + kap * pw(I1)
+            b1 = m * kap * pw(I1) * cbrt(I3) / _safe(I1)
+            return (
+                cbrt(K1 * I3)[..., None] / (3.0 * _safe(T))
+                - (b1 / (3.0 * cbrt(_safe(K1)) ** 2))[..., None]
+                - 1.0
+            )
+
+        def dF_dkappa(T, kap):
+            I1, _, I3 = _invariants(T)
+            K1 = 27.0 + kap * pw(I1)
+            return cbrt(I3) / (3.0 * cbrt(_safe(K1)) ** 2) * pw(I1)
+
+        def dG_dT(T, kpsi):
+            I1, _, I3 = _invariants(T)
+            K2 = 27.0 + kpsi * pw(I1)
+            b2 = m * kpsi * pw(I1) * cbrt(I3) / _safe(I1)
+            return (
+                cbrt(K2 * I3)[..., None] / (3.0 * _safe(T))
+                - (b2 / (3.0 * cbrt(_safe(K2)) ** 2))[..., None]
+                - 1.0
+            )
+
+        def ddG_ddT(T, kpsi):
+            I1, _, I3 = _invariants(T)
+            K2 = 27.0 + kpsi * pw(I1)
+            b2 = m * kpsi * pw(I1) * cbrt(I3) / _safe(I1)
+            dK2 = -(m * kpsi / _safe(I1)) * pw(I1)  # same for every comp.
+            Ts = _safe(T)
+            db2_B = (b2 / _safe(I1))[..., None] * (
+                I1[..., None] / (3.0 * Ts) - m - 1.0
+            )
+            eye = jnp.eye(3, dtype=T.dtype)
+            K2s = _safe(K2)
+            main = (1.0 / 3.0) * cbrt(K2 * I3)[..., None, None] * (
+                1.0 / (3.0 * Ts[..., :, None] * Ts[..., None, :])
+                - eye / (Ts[..., :, None] ** 2)
+            )
+            second = (
+                (cbrt(I3)[..., None] / Ts + (2.0 * b2 / K2s)[..., None])[..., :, None]
+                * dK2[..., None, None]
+                / (9.0 * cbrt(K2s)[..., None, None] ** 2)
+            )
+            third = db2_B[..., None, :] / (3.0 * cbrt(K2s)[..., None, None] ** 2)
+            return main + second - third
+
+        def ddG_dT_dkpsi(T, kpsi):
+            I1, _, I3 = _invariants(T)
+            K2 = 27.0 + kpsi * pw(I1)
+            b2 = m * kpsi * pw(I1) * cbrt(I3) / _safe(I1)
+            K2s = _safe(K2)
+            return (
+                pw(I1)[..., None]
+                * (
+                    cbrt(I3)[..., None] / (3.0 * _safe(T))
+                    + (2.0 * b2 / (3.0 * K2s))[..., None]
+                    - (m * cbrt(I3) / _safe(I1))[..., None]
+                )
+                / (3.0 * cbrt(K2s)[..., None] ** 2)
+            )
+
     else:
         raise ValueError(f"unknown Borja yield kind: {kind}")
 
@@ -192,12 +275,15 @@ def borja_frictional(
     a3,
     alpha,
     cohesion=0.0,
+    pa=0.0,
     n_iter: int = 30,
     tol: float = 1e-10,
 ) -> BorjaOut:
     """Batched Borja stress update.  ``eps`` carries Λ; ``kappa`` carries κ_φ."""
-    del m, c0, psi  # reference MN/LD paths hard-code the c0 constants
-    F, dF_dT, dF_dkappa, dG_dT, ddG_ddT, ddG_dT_dkpsi = _yield_fns(yield_kind)
+    del c0, psi  # reference MN/LD/MLD paths hard-code the c0 constants
+    F, dF_dT, dF_dkappa, dG_dT, ddG_ddT, ddG_dT_dkpsi = _yield_fns(
+        yield_kind, pa=pa, m=m
+    )
 
     lam_e, G_e = lame_parameters(E, nu)
     rad_phi = jnp.deg2rad(phi)

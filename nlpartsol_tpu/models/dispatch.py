@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from . import hyperelastic, materials as M
-from .fluid import newtonian_fluid
+from .fluid import bingham_fluid, newtonian_fluid
 from .vonmises import von_mises
 from .druckerprager import drucker_prager
 from .borja import borja_frictional
@@ -101,6 +101,23 @@ def stress_integration(
         elif kind == M.LINEAR_ELASTIC:
             tau, tzz, W = hyperelastic.linear_elastic(F_n1, g("E"), g("nu"))
             out = blend(out, sel, tau, tzz, W)
+        elif kind == M.MOONEY_RIVLIN:
+            tau, tzz, W = hyperelastic.mooney_rivlin(
+                F_n1, g("E"), g("nu"), g("mu1_mr"), g("mu2_mr")
+            )
+            out = blend(out, sel, tau, tzz, W)
+        elif kind == M.BINGHAM_FLUID:
+            tau, tzz, W = bingham_fluid(
+                F_n1,
+                dFdt_n1,
+                p0=g("reference_pressure"),
+                mu0=g("viscosity"),
+                tau_y=g("kappa0"),
+                m_pap=g("fluidity_param"),
+                n=g("n_macdonald"),
+                K=g("compressibility"),
+            )
+            out = blend(out, sel, tau, tzz, W)
         elif kind == M.NEWTONIAN_FLUID:
             tau, tzz, W = newtonian_fluid(
                 F_n1,
@@ -167,14 +184,19 @@ def stress_integration(
                 kappa=r.kappa,
                 failed=r.failed,
             )
-        elif kind in (M.MATSUOKA_NAKAI, M.LADE_DUNCAN):
+        elif kind in (M.MATSUOKA_NAKAI, M.LADE_DUNCAN, M.MODIFIED_LADE_DUNCAN):
             r = borja_frictional(
                 bemi,
                 bemi_zz,
                 DF,
                 eps,
                 kappa,
-                yield_kind=("matsuoka-nakai" if kind == M.MATSUOKA_NAKAI else "lade-duncan"),
+                yield_kind={
+                    M.MATSUOKA_NAKAI: "matsuoka-nakai",
+                    M.LADE_DUNCAN: "lade-duncan",
+                    M.MODIFIED_LADE_DUNCAN: "modified-lade-duncan",
+                }[kind],
+                pa=g("atmospheric_pressure"),
                 E=g("E"),
                 nu=g("nu"),
                 m=g("m_frictional"),

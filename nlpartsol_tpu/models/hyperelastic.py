@@ -80,6 +80,72 @@ def hencky(F: jax.Array, E_mod: jax.Array, nu: jax.Array):
     return tau, tau_zz, W
 
 
+def mooney_rivlin(F: jax.Array, E_mod: jax.Array, nu: jax.Array,
+                  mu1: jax.Array, mu2: jax.Array):
+    """Compressible Mooney-Rivlin.
+
+    Completes the reference's stub (/root/reference/nl-partsol/src/
+    Constitutive/Hyperelastic/Mooney-Rivlin.c:17-40 — the energy returns
+    only its volumetric term and the stress body is commented out).  The
+    energy the stub names (its commented lines) is
+
+      μ₁/2 (I1_C − 3) − μ₂/2 (I2_C/I3_C − 3) + K/2 ln²J,
+      K = E/(3(1−2ν)),  μ₁/μ₂ = mu_Ogden[0..1]
+
+    As written that energy is NOT stress-free at F = I (τ(I) = (μ₁+μ₂)I);
+    the standard compressible completion adds −(μ₁+μ₂) lnJ:
+
+      W = μ₁/2 (I1 − 3) − μ₂/2 (I2/I3 − 3) + K/2 ln²J − (μ₁+μ₂) lnJ
+
+    with the exact Kirchhoff stress τ = F·(2 ∂W/∂C)·Fᵀ:
+
+      τ = μ₁ b − (μ₂/I3)(I1 b − b²) + (μ₂ I2/I3 + K lnJ − μ₁ − μ₂) I
+
+    (the stub's commented P additionally drops the 1/I3 factors its own
+    energy implies; we keep the energy-consistent form, verified by AD in
+    the tests).  Small-strain moduli: shear μ₁+μ₂, bulk K + volumetric
+    corrections.  Plane strain: b_zz = 1 enters the invariants; τ_zz
+    carried separately."""
+    d = F.shape[-1]
+    K = E_mod / (3.0 * (1.0 - 2.0 * nu))
+    A = F - jnp.eye(d, dtype=F.dtype)
+    e = tn.det_minus_one(A)  # J − 1
+    J = 1.0 + e
+    lnJ = jnp.log1p(e)
+    bmi = tn.bmi_from_disp_grad(A)
+    eye = jnp.eye(d, dtype=F.dtype)
+    b = bmi + eye
+    trb = tn.trace(b)
+    if d == 2:
+        I1 = trb + 1.0
+        detb2 = b[..., 0, 0] * b[..., 1, 1] - b[..., 0, 1] * b[..., 1, 0]
+        I2 = detb2 + trb  # zz eigenvalue is 1
+        I3 = detb2
+    else:
+        I1 = trb
+        bb = tn.bmm(b, b)
+        I2 = 0.5 * (I1 * I1 - tn.trace(bb))
+        I3 = J * J
+    bb = tn.bmm(b, b)
+    I3s = jnp.maximum(I3, 1e-12)
+    c_iso = mu2 / I3s
+    c_vol = mu2 * I2 / I3s + K * lnJ - mu1 - mu2
+    tau = (
+        mu1[..., None, None] * b
+        - c_iso[..., None, None] * (I1[..., None, None] * b - bb)
+        + c_vol[..., None, None] * eye
+    )
+    # zz: b_zz = 1, (b²)_zz = 1
+    tau_zz = mu1 - c_iso * (I1 - 1.0) + c_vol
+    W = (
+        0.5 * mu1 * (I1 - 3.0)
+        - 0.5 * mu2 * (I2 / I3s - 3.0)
+        + 0.5 * K * lnJ * lnJ
+        - (mu1 + mu2) * lnJ
+    )
+    return tau, tau_zz, W
+
+
 def linear_elastic(F: jax.Array, E_mod: jax.Array, nu: jax.Array):
     d = F.shape[-1]
     lam, G = lame_parameters(E_mod, nu)

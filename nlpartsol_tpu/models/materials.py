@@ -29,6 +29,10 @@ VON_MISES = 6
 DRUCKER_PRAGER = 7
 MATSUOKA_NAKAI = 8
 LADE_DUNCAN = 9
+# carried-but-unwired in the reference; wired here (VERDICT r4 #9):
+MODIFIED_LADE_DUNCAN = 10  # Modified-Lade-Duncan.c:188 (full impl, no dispatch)
+BINGHAM_FLUID = 11  # Bingham-Fluid.c (body commented out; completed here)
+MOONEY_RIVLIN = 12  # Mooney-Rivlin.c:17-40 (stub energy; completed here)
 
 KIND_NAMES = {
     "Solid-Rigid": SOLID_RIGID,
@@ -42,6 +46,9 @@ KIND_NAMES = {
     "Drucker-Prager": DRUCKER_PRAGER,
     "Matsuoka-Nakai": MATSUOKA_NAKAI,
     "Lade-Duncan": LADE_DUNCAN,
+    "Modified-Lade-Duncan": MODIFIED_LADE_DUNCAN,
+    "Bingham-Fluid": BINGHAM_FLUID,
+    "Mooney-Rivlin": MOONEY_RIVLIN,
 }
 
 
@@ -84,6 +91,13 @@ class MaterialTable:
     n_macdonald: jnp.ndarray
     compressibility: jnp.ndarray  # Cel-derived bulk for fluids
     reference_pressure: jnp.ndarray
+    # Bingham regularisation (Papanastasiou): mu = mu0 + tau_y/g*(1-e^-m g)
+    # (Bingham-Fluid.c compute_Bingham_viscosity; tau_y rides kappa0)
+    fluidity_param: jnp.ndarray
+    # Mooney-Rivlin deviatoric moduli (reference mu_Ogden[0..1],
+    # Mooney-Rivlin.c:22-23)
+    mu1_mr: jnp.ndarray
+    mu2_mr: jnp.ndarray
     # Fracture: eigenerosion / eigensoftening (Types.h:382-391)
     Ceps: jnp.ndarray
     Gf: jnp.ndarray
@@ -134,6 +148,9 @@ _DEFAULTS = dict(
     n_macdonald=1.0,
     compressibility=0.0,
     reference_pressure=0.0,
+    fluidity_param=100.0,
+    mu1_mr=0.0,
+    mu2_mr=0.0,
     Ceps=1.0,
     Gf=0.0,
     ft=0.0,

@@ -19,6 +19,10 @@ Provenance per file:
        d_phi=diag(1,0.999,1), 50 steps)
   matsuoka_triaxial.csv  <- tests/Constitutive/Matsuoka_Nakai.c  (params from
       the harness's active #define block; confined triaxial strain path)
+  modified_lade_duncan_triaxial.csv <- scripts/Borja-Constitutive-Models/
+      Frictional-Monolithic.c with Yield_Function "Modified-Lade-Duncan"
+      (E=100e3, nu=0.2, pa=-100, m=0.2, c0=27, a=[20000,0.005,35],
+       alpha=0.5, phi=20 deg, confining=-200, 2101 steps of d_eps=-1e-5)
 
 Columns: step then the harness state arrays (see DUMPS below).
 Run:  python scripts/make_reference_golden.py
@@ -43,6 +47,11 @@ extern void dsyev_(const char *jobz, const char *uplo, int *n, double *a,
 extern void dgetrf_(int *m, int *n, double *a, int *lda, int *ipiv, int *info);
 extern void dgetrs_(const char *trans, int *n, int *nrhs, double *a, int *lda,
                     int *ipiv, double *b, int *ldb, int *info);
+extern double dlange_(const char *norm, int *m, int *n, double *a, int *lda,
+                      double *work);
+extern void dgecon_(const char *norm, int *n, double *a, int *lda,
+                    double *anorm, double *rcond, double *work, int *iwork,
+                    int *info);
 #endif
 """
 
@@ -95,7 +104,34 @@ JOBS = [
   fclose(gold);
 """,
     ),
+    (
+        # the reference's own Borja-family development harness, run in its
+        # Modified-Lade-Duncan mode (the in-tree Modified-Lade-Duncan.c is
+        # never dispatched; this is the only executable MLD oracle)
+        "/root/reference/scripts/Borja-Constitutive-Models/Frictional-Monolithic.c",
+        "mld",
+        "modified_lade_duncan_triaxial.csv",
+        """
+  FILE *gold = fopen("GOLDEN_OUT", "w");
+  fprintf(gold, "step,s1,s2,s3,eps,kappa\\n");
+  for (int i = 0; i < NumberSteps; i++)
+    fprintf(gold, "%d,%.17e,%.17e,%.17e,%.17e,%.17e\\n", i,
+            stress[i*3+0], stress[i*3+1], stress[i*3+2], Lambda[i], kappa1[i]);
+  fclose(gold);
+""",
+    ),
 ]
+
+# per-source #define overrides (regex -> replacement), applied pre-patch
+DEFINE_OVERRIDES = {
+    "Frictional-Monolithic.c": [
+        (r'#define Yield_Function "Matsuoka-Nakai"',
+         '#define Yield_Function "Modified-Lade-Duncan"'),
+        (r"#define m_Parameter 0\.0", "#define m_Parameter 0.2"),
+        (r"#define c0_Parameter 9\.0", "#define c0_Parameter 27.0"),
+        (r"#define FrictionAngle 0", "#define FrictionAngle 20"),
+    ],
+}
 
 
 def patch(src_text: str, dump_code: str, out_csv: str) -> str:
@@ -108,6 +144,8 @@ def patch(src_text: str, dump_code: str, out_csv: str) -> str:
     )
     # insert the golden dump before the harness's own CSV writers
     anchor = "// Save data in a csv file"
+    if anchor not in text:
+        anchor = "// Save p-q in a csv file"  # Frictional-Monolithic.c:281
     assert anchor in text, "anchor not found"
     dump = dump_code.replace("GOLDEN_OUT", out_csv)
     text = text.replace(anchor, dump + "\n  " + anchor, 1)
@@ -123,11 +161,15 @@ def main():
     with open(os.path.join(BUILD, "lapacke.h"), "w") as f:
         f.write(LAPACKE_STUB)
     for src, binname, out_csv, dump in JOBS:
-        src_path = os.path.join(REF, src)
+        src_path = src if os.path.isabs(src) else os.path.join(REF, src)
         text = open(src_path).read()
+        for pat, repl in DEFINE_OVERRIDES.get(os.path.basename(src), []):
+            new = re.sub(pat, repl, text)
+            assert new != text, f"define override {pat!r} matched nothing"
+            text = new
         gold_path = os.path.join(OUT, out_csv)
         patched = patch(text, dump, gold_path)
-        c_path = os.path.join(BUILD, src)
+        c_path = os.path.join(BUILD, os.path.basename(src))
         open(c_path, "w").write(patched)
         bin_path = os.path.join(BUILD, binname)
         cmd = [

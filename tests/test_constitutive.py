@@ -237,3 +237,148 @@ def test_dispatch_mixed_materials():
         np.asarray(out.tau)[sel], np.asarray(tau_nh)[sel], rtol=1e-5
     )
     assert np.all(np.isfinite(np.asarray(out.tau)))
+
+
+def test_mooney_rivlin_stress_is_energy_consistent():
+    """tau must equal (dW/dF)Fᵀ for the energy the reference stub names
+    (Mooney-Rivlin.c:17-40; its commented stress drops the 1/I3 factors its
+    own energy implies — AD adjudicates for the energy-consistent form)."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    E_, nu, mu1, mu2 = 1e6, 0.3, 4e5, 1e5
+    args = tuple(jnp.float64(v) for v in (E_, nu, mu1, mu2))
+    F = jnp.asarray(
+        np.eye(3) + 0.1 * rng.standard_normal((4, 3, 3)), jnp.float64
+    )
+
+    tau, tau_zz, W = hyperelastic.mooney_rivlin(F, *args)
+    # undeformed: zero stress, zero energy
+    tau0, tzz0, W0 = hyperelastic.mooney_rivlin(
+        jnp.broadcast_to(jnp.eye(3, dtype=jnp.float64), (1, 3, 3)), *args
+    )
+    np.testing.assert_allclose(np.asarray(tau0), 0.0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(W0), 0.0, atol=1e-12)
+    assert float(tzz0[0]) == pytest.approx(0.0, abs=1e-9)
+
+    dWdF = jax.vmap(
+        jax.grad(lambda f: hyperelastic.mooney_rivlin(f[None], *args)[2][0])
+    )(F)
+    tau_ad = np.einsum("pij,pkj->pik", np.asarray(dWdF), np.asarray(F))
+    # f32 session (x64 is only enabled in test_reference_golden)
+    np.testing.assert_allclose(np.asarray(tau), tau_ad, rtol=2e-5, atol=1.0)
+
+    # plane strain == 3D with F_zz = 1 (in-plane block and zz channel)
+    F2 = F[:, :2, :2].at[:, 0, 1].set(0.0)  # keep invertibility simple
+    F3 = jnp.zeros((4, 3, 3), jnp.float64)
+    F3 = F3.at[:, :2, :2].set(F2).at[:, 2, 2].set(1.0)
+    t2, tzz2, W2 = hyperelastic.mooney_rivlin(F2, *args)
+    t3, _, W3 = hyperelastic.mooney_rivlin(F3, *args)
+    np.testing.assert_allclose(
+        np.asarray(t2), np.asarray(t3)[:, :2, :2], rtol=1e-5, atol=1.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(tzz2), np.asarray(t3)[:, 2, 2], rtol=1e-5, atol=1.0
+    )
+    np.testing.assert_allclose(np.asarray(W2), np.asarray(W3), rtol=1e-5, atol=1.0)
+
+
+def test_bingham_reduces_to_newtonian_and_yield_limit():
+    from nlpartsol_tpu.models.fluid import bingham_fluid, newtonian_fluid
+
+    rng = np.random.default_rng(6)
+    F = jnp.asarray(np.eye(3) + 0.05 * rng.standard_normal((3, 3, 3)), jnp.float64)
+    dFdt = jnp.asarray(0.5 * rng.standard_normal((3, 3, 3)), jnp.float64)
+    common = dict(p0=jnp.float64(10.0), n=jnp.float64(7.0), K=jnp.float64(2e5))
+    # tau_y = 0: exact Newtonian reduction in 3D (2/Ndim == 2/3)
+    tb, tbz, _ = bingham_fluid(
+        F, dFdt, mu0=jnp.float64(0.3), tau_y=jnp.float64(0.0),
+        m_pap=jnp.float64(100.0), **common
+    )
+    tn_, tnz, _ = newtonian_fluid(F, dFdt, mu=jnp.float64(0.3), **common)
+    np.testing.assert_allclose(np.asarray(tb), np.asarray(tn_), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(tbz), np.asarray(tnz), rtol=1e-12)
+
+    # simple shear at rate g: tau_xy -> mu0*g + tau_y for m*g >> 1
+    # (Papanastasiou-regularised Bingham law, Bingham-Fluid.c:91-99)
+    g = 2.0
+    F1 = jnp.eye(3, dtype=jnp.float64)[None]
+    dF1 = jnp.zeros((1, 3, 3), jnp.float64).at[0, 0, 1].set(g)
+    tau_y, mu0 = 5.0, 0.3
+    tb, _, _ = bingham_fluid(
+        F1, dF1, mu0=jnp.float64(mu0), tau_y=jnp.float64(tau_y),
+        m_pap=jnp.float64(50.0), p0=jnp.float64(0.0), n=jnp.float64(7.0),
+        K=jnp.float64(0.0),
+    )
+    assert float(tb[0, 0, 1]) == pytest.approx(mu0 * g + tau_y, rel=1e-6)
+
+
+def test_modified_lade_duncan_reduces_to_lade_duncan_at_m0():
+    """MLD with m=0 is exactly Lade-Duncan (harness eval_K1: the (pa/I1)^m
+    factor degenerates to 1, Frictional-Monolithic.c:659-667)."""
+    from nlpartsol_tpu.models.borja import borja_frictional
+
+    Eh_tr = np.array([-0.004, -0.0015, -0.001])
+    wm1 = np.expm1(2.0 * Eh_tr)
+    bemi = jnp.asarray(np.diag(wm1)[None], jnp.float64)
+    kw = dict(
+        E=jnp.float64(1e8), nu=jnp.float64(0.3), c0=jnp.float64(0.0),
+        phi=jnp.float64(30.0), psi=jnp.float64(30.0), a1=jnp.float64(20000.0),
+        a2=jnp.float64(0.0), a3=jnp.float64(2000.0), alpha=jnp.float64(1.0),
+        cohesion=jnp.float64(0.0),
+    )
+    args = (
+        bemi, jnp.zeros((1,), jnp.float64),
+        jnp.broadcast_to(jnp.eye(3, dtype=jnp.float64), (1, 3, 3)),
+        jnp.zeros((1,), jnp.float64), jnp.zeros((1,), jnp.float64),
+    )
+    out_mld = borja_frictional(
+        *args, yield_kind="modified-lade-duncan",
+        m=jnp.float64(0.0), pa=jnp.float64(-100.0), **kw
+    )
+    out_ld = borja_frictional(
+        *args, yield_kind="lade-duncan", m=jnp.float64(0.0), **kw
+    )
+    assert float(out_mld.eps[0]) > 0  # actually plastic
+    # f32 session: the two branches differ only by (pa/I1)^0 == 1 factors,
+    # whose evaluation order perturbs the Newton path at ~1e-6 relative
+    np.testing.assert_allclose(
+        np.asarray(out_mld.tau), np.asarray(out_ld.tau), rtol=1e-5, atol=10.0
+    )
+    np.testing.assert_allclose(
+        float(out_mld.kappa[0]), float(out_ld.kappa[0]), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_dispatch_includes_new_kinds():
+    """Bingham / Mooney-Rivlin / Modified-Lade-Duncan reachable through
+    stress_integration + the deck material-name map."""
+    from nlpartsol_tpu.models import dispatch as con
+    from nlpartsol_tpu.io.builder import _MODEL_NAMES
+
+    for name in ("Bingham-Fluid", "Mooney-Rivlin", "Modified-Lade-Duncan"):
+        assert name in _MODEL_NAMES or name in M.KIND_NAMES
+
+    rows = [
+        M.material(kind="Mooney-Rivlin", E=1e6, nu=0.3, mu1_mr=4e5, mu2_mr=1e5),
+        M.material(kind="Bingham-Fluid", kappa0=5.0, viscosity=0.3,
+                   fluidity_param=50.0, compressibility=2e5, n_macdonald=7.0),
+        M.material(kind="Modified-Lade-Duncan", E=1e8, nu=0.3,
+                   m_frictional=0.2, atmospheric_pressure=-100.0,
+                   a1_borja=20000.0, a2_borja=0.005, a3_borja=35.0,
+                   alpha_borja=0.5),
+    ]
+    mats = M.material_table(rows)
+    n = 3
+    rng = np.random.default_rng(7)
+    F = jnp.asarray(np.eye(3) + 0.02 * rng.standard_normal((n, 3, 3)), jnp.float64)
+    DF = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float64), (n, 3, 3))
+    out = con.stress_integration(
+        F_n1=F, DF=DF, dFdt_n1=0.1 * F,
+        bemi=jnp.zeros((n, 3, 3), jnp.float64), bemi_zz=jnp.zeros((n,)),
+        eps=jnp.zeros((n,)), kappa=jnp.zeros((n,)),
+        back_stress=jnp.zeros((n, 3)), mat_id=jnp.arange(n, dtype=jnp.int32),
+        mats=mats, kinds=mats.kinds_present(),
+    )
+    assert np.all(np.isfinite(np.asarray(out.tau)))
+    assert np.any(np.asarray(out.tau) != 0.0)

@@ -169,3 +169,49 @@ def test_matsuoka_nakai_matches_reference_harness():
         )
         np.testing.assert_allclose(float(eps), g["eps"][i], rtol=1e-5, atol=1e-8)
         np.testing.assert_allclose(float(kap), g["kappa"][i], rtol=1e-5, atol=1e-7)
+
+
+def test_modified_lade_duncan_matches_reference_harness():
+    """MLD golden from the reference's own Borja development harness run in
+    its Modified-Lade-Duncan mode (scripts/Borja-Constitutive-Models/
+    Frictional-Monolithic.c:625-631 selects Is_Modified_Lade_Duncan; the
+    in-tree Modified-Lade-Duncan.c:188 is never dispatched, so this is the
+    only executable MLD oracle).  Drained triaxial: sigma_1 = sigma_3 =
+    -200, strain-driven sigma_2 trial; subsampled every 50 of 2101 steps."""
+    g = _read("modified_lade_duncan_triaxial.csv")
+    n = len(g["step"])
+    import jax.numpy as jnp
+
+    E, nu = 100.0e3, 0.2
+    kw = {k: jnp.asarray(v, jnp.float64) for k, v in dict(
+        E=E, nu=nu, m=0.2, c0=0.0, phi=0.0, psi=0.0, a1=20000.0, a2=0.005,
+        a3=35.0, alpha=0.5, cohesion=0.0, pa=-100.0).items()}
+    kw.update(yield_kind="modified-lade-duncan", n_iter=60, tol=1e-12)
+    eps = jnp.asarray(g["eps"][0], jnp.float64)   # Initialize_Frictional
+    kap = jnp.asarray(g["kappa"][0], jnp.float64)
+    dF = jnp.eye(2, dtype=jnp.float64)
+    CC = (1.0 / E) * np.eye(3) + (-nu / E) * (np.ones((3, 3)) - np.eye(3))
+
+    def step(T_tr, eps, kap):
+        Eh = jnp.asarray(CC) @ T_tr
+        bemi = jnp.diag(jnp.exp(2.0 * Eh[:2]) - 1.0)
+        bemi_zz = jnp.exp(2.0 * Eh[2]) - 1.0
+        return borja_frictional(bemi, bemi_zz, dF, eps, kap, **kw)
+
+    stepj = jax.jit(step)
+    de = -0.00001
+    conf = -200.0
+    s2 = conf
+    for i in range(1, n):
+        T_tr = jnp.asarray([conf, s2 + E * de, conf], jnp.float64)
+        out = stepj(T_tr, eps, kap)
+        eps, kap = out.eps, out.kappa
+        s1, s2, s3 = float(out.tau[0, 0]), float(out.tau[1, 1]), float(out.tau_zz)
+        if i % 50 and i != n - 1:
+            continue
+        np.testing.assert_allclose(
+            [s1, s2, s3], [g["s1"][i], g["s2"][i], g["s3"][i]],
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(float(eps), g["eps"][i], rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(float(kap), g["kappa"][i], rtol=1e-5, atol=1e-7)
