@@ -60,11 +60,18 @@ def make_step_config(setup: SimulationSetup, transfer: str = "scatter", active_b
         shp_kw["lme_params"] = lme_mod.LMEParams(**setup.shapefun_params)
     formulation_ = getattr(setup, "formulation", "u")
     _pallas_formulations = (
-        # -u: explicit + implicit + static + DEM; -upw: explicit two-phase
+        # -u: explicit + implicit + static + DEM; -upw: explicit + implicit
+        # two-phase; -up: implicit/static mixed
         formulation_ == "u"
         and setup.solver.scheme
         in (EXPLICIT_SCHEMES | IMPLICIT_SCHEMES | STATIC_SCHEMES | DEM_SCHEMES)
-    ) or (formulation_ == "upw" and setup.solver.scheme in EXPLICIT_SCHEMES)
+    ) or (
+        formulation_ == "upw"
+        and setup.solver.scheme in EXPLICIT_SCHEMES | IMPLICIT_SCHEMES
+    ) or (
+        formulation_ == "up"
+        and setup.solver.scheme in IMPLICIT_SCHEMES | STATIC_SCHEMES
+    )
     if transfer == "pallas" and (
         not _pallas_formulations
         or setup.shapefun != "lme"

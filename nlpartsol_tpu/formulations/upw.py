@@ -593,6 +593,9 @@ class UpwImplicitConfig:
     halo: object = struct.field(pytree_node=False, default=None)
     # particles already in slot layout (sharded drivers re-bin per step)
     prebinned: bool = struct.field(pytree_node=False, default=False)
+    # pallas rebin mode (see ExplicitConfig.rebin_mode): 'local' restores
+    # the slot invariant at step end; 'none' defers to an external owner
+    rebin_mode: str = struct.field(pytree_node=False, default="local")
 
 
 def upw_newmark_step(
@@ -629,6 +632,11 @@ def upw_newmark_step(
     from ..ops import solvers
     from .implicit import newmark_parameters
 
+    if cfg.transfer == "pallas":
+        return _upw_newmark_step_pallas(
+            p, grid, mats, mix, cfg, body_accel, pw_dirichlet_mask,
+            pw_dirichlet_value,
+        )
     d = p.dim
     n_nodes = grid.n_nodes
     dt, gamma = cfg.dt, cfg.gamma
@@ -692,6 +700,41 @@ def upw_newmark_step(
     vel_const_nodes = (nm.alpha_5 - 1.0) * Un_dt + nm.alpha_6 * Un_dt2
     grad_vel_const = kin.disp_gradient(eng.edge_gather(vel_const_nodes), dN)
     eye = jnp.eye(d, dtype=p.x.dtype)
+
+    # --- Nondimensionalisation (computed BEFORE the residual so it can
+    # scale the rows inside it).  The raw θ rows are storativity-sized —
+    # up to ~1e5× smaller than the O(E·V0/h²)·dU u rows — so the raw
+    # monolithic residual norm (what GMRES minimises and Newton tests:
+    # right preconditioning does NOT change the norm) never sees them and
+    # the f32 θ solution is pure Krylov noise.  Scale each row block by
+    # its Jacobi diagonal TIMES a characteristic unknown magnitude
+    # (h for dU, the P-wave modulus for dθ): both blocks then enter the
+    # norm as dimensionless strain-like quantities, and the matching
+    # column scaling in M_inv keeps the preconditioned operator O(1).
+    # The root is unchanged.  (The reference dodges all this with dense
+    # f64 LU each iteration, U-pw-Newmark-beta.c:2238.) ---
+    from ..models.materials import lame_parameters
+
+    lam_p, G_p = lame_parameters(
+        mats.E[mix.soil_id[mid]], mats.nu[mix.soil_id[mid]]
+    )
+    stiff_scale = (lam_p + 2.0 * G_p) * p.vol0
+    diag_K = eng.p2g(stiff_scale[:, None] * jnp.sum(dN * dN, axis=-1))
+    diag_u = diag_K[:, None] + nm.alpha_1 * m_nodes[:, None]
+    diag_u = jnp.where(free_u, jnp.maximum(diag_u, 1e-30), 1.0)
+    # θ diag: storage/(γΔt) + Darcy stencil
+    darcy_diag = eng.p2g(
+        (k_perm * p.vol0 / jnp.abs(g))[:, None] * jnp.sum(dN * dN, axis=-1)
+    )
+    diag_t = C_nodes / (gamma * dt) + darcy_diag
+    diag_t = jnp.where(free_t, jnp.maximum(diag_t, 1e-30), 1.0)
+    h_ref = jnp.asarray(grid.spacing, p.x.dtype)
+    # characteristic stress from the GLOBAL mixture table (shard-consistent
+    # under halo sharding, unlike a mean over local particle rows)
+    _lam_m, _G_m = lame_parameters(
+        mats.E[mix.soil_id], mats.nu[mix.soil_id]
+    )
+    theta_ref = jnp.mean(_lam_m + 2.0 * _G_m)
 
     def local_state(dU, dth):
         grad_du = kin.disp_gradient(eng.edge_gather(dU), dN)
@@ -764,30 +807,15 @@ def upw_newmark_step(
         R_t = R_t - (1.0 / g) * eng.p2g(
             jnp.einsum("pki,pi->pk", GRAD, flow_vec) * p.vol0[:, None]
         )
-        R_u = jnp.where(free_u, R_u, 0.0)
-        R_t = jnp.where(free_t, R_t, 0.0)
+        # nondimensionalised rows (see the diag_u/diag_t comment above)
+        R_u = jnp.where(free_u, R_u / (diag_u * h_ref), 0.0)
+        R_t = jnp.where(free_t, R_t / (diag_t * theta_ref), 0.0)
         return jnp.concatenate([R_u, R_t[:, None]], axis=-1)
 
-    # block-diagonal preconditioner
-    from ..models.materials import lame_parameters
-
-    lam_p, G_p = lame_parameters(
-        mats.E[mix.soil_id[mid]], mats.nu[mix.soil_id[mid]]
-    )
-    stiff_scale = (lam_p + 2.0 * G_p) * p.vol0
-    diag_K = eng.p2g(stiff_scale[:, None] * jnp.sum(dN * dN, axis=-1))
-    diag_u = diag_K[:, None] + nm.alpha_1 * m_nodes[:, None]
-    diag_u = jnp.where(free_u, jnp.maximum(diag_u, 1e-30), 1.0)
-    # θ diag: storage/(γΔt) + Darcy stencil
-    darcy_diag = eng.p2g(
-        (k_perm * p.vol0 / jnp.abs(g))[:, None] * jnp.sum(dN * dN, axis=-1)
-    )
-    diag_t = C_nodes / (gamma * dt) + darcy_diag
-    diag_t = jnp.where(free_t, jnp.maximum(diag_t, 1e-30), 1.0)
-
     def M_inv(r):
+        # column scaling: undo the nondimensionalisation on the unknown side
         return jnp.concatenate(
-            [r[:, :d] / diag_u, (r[:, d] / diag_t)[:, None]], axis=-1
+            [r[:, :d] * h_ref, (r[:, d] * theta_ref)[:, None]], axis=-1
         )
 
     res = solvers.newton_krylov(
@@ -799,6 +827,7 @@ def upw_newmark_step(
         cg_tol=cfg.krylov_tol,
         cg_maxiter=cfg.krylov_maxiter,
         linear="gmres",
+        threshold_mode="rel",
         axis_name=cfg.halo.axis_name if cfg.halo is not None else None,
     )
     dU = jnp.where(free_u, res.x[:, :d], dU_dirichlet)
@@ -862,11 +891,375 @@ def upw_newmark_step(
     return p_out, diag
 
 
+def _upw_newmark_step_pallas(
+    p: Particles,
+    grid: Grid,
+    mats: MaterialTable,
+    mix: MixtureTable,
+    cfg: UpwImplicitConfig,
+    body_accel: jax.Array,
+    pw_dirichlet_mask=None,
+    pw_dirichlet_value=None,
+):
+    """Fused-Pallas monolithic implicit u-pw Newmark-β step (VERDICT r4 #4).
+
+    Physics identical to the windowed ``upw_newmark_step``; every transfer
+    inside the Newton-GMRES loop runs through the fused LME kernels of
+    ops/pallas_transfer.py wrapped in linearity-exploiting custom JVPs (the
+    same trick as the single-phase ``_implicit_step_pallas``), so each
+    residual/J·v evaluation costs two fused gathers (∇(dU)+N-samples of
+    (dU, dθ); ∇(dθ)) and two fused scatters (mixture G + storage-rate
+    channel; Darcy/inertia flow row) — no (Ns, K, ·) edge tensor is ever
+    materialised.  λ is solved once (first scatter) and frozen through the
+    Newton loop.  Reference being replaced: the dense monolithic NR of
+    U-pw-Newmark-beta.c:85 (LU at :2238 each iteration)."""
+    from ..ops import pallas_transfer as pt
+    from ..ops import solvers
+    from ..models.materials import lame_parameters
+    from .implicit import newmark_parameters, _linear_op
+
+    if cfg.shapefun != "lme":
+        raise ValueError("pallas transfer currently implements LME only")
+    box = cfg.active_box
+    d = p.dim
+    n_nodes = grid.n_nodes
+    dt, gamma = cfg.dt, cfg.gamma
+    nm = newmark_parameters(cfg.beta, cfg.gamma, dt)
+    g = cfg.gravity_g
+    C, nc = box.capacity, box.n_cells
+    halo = cfg.halo
+    if halo is not None:
+        from ..parallel import domain as _dom
+
+        def _xadd(nodesv):
+            return _dom.halo_exchange_add(nodesv, halo)
+
+        def _fill(nodesv):
+            return _dom.halo_fill(nodesv, halo)
+
+    else:
+        _xadd = _fill = lambda nodesv: nodesv
+    vkw = dict(valid_lo=grid.valid_lo, valid_hi=grid.valid_hi)
+
+    local_mode = cfg.rebin_mode == "local" and not cfg.prebinned
+    lost = jnp.zeros((), jnp.int32)
+    if not local_mode and not cfg.prebinned:
+        binning = windowed.bin_particles(grid, box, p.x, p.active)
+        p = windowed.permute_to_slots(p, binning)
+        lost = binning.lost
+    act = p.active
+    sel3 = act[:, None, None]
+    eye = jnp.eye(d, dtype=p.x.dtype)
+
+    mid = p.mat_id
+    K_f = mats.compressibility[mix.water_id[mid]]
+    rho_f0 = mats.rho0[mix.water_id[mid]]
+    phi_s0 = mix.phi_s0[mid]
+    phi_f0 = mix.phi_f0[mid]
+    k_perm = mix.permeability[mid]
+
+    x_t = pt.to_channel_leading(p.x, C, nc)
+    lam_t = pt.to_channel_leading(p.lme_lambda, C, nc)
+    act_t = pt.to_channel_leading(act.astype(p.x.dtype), C, nc)
+
+    def tcl(a):
+        return pt.to_channel_leading(a, C, nc)
+
+    # --- scatter #1 (solves λ): mass, storativity, θ/θ̇ momenta, v/a
+    # momenta, Jacobi stiffness diag (gnorm channel) ---
+    lam_p, G_p = lame_parameters(
+        mats.E[mix.soil_id[mid]], mats.nu[mix.soil_id[mid]]
+    )
+    stiff_scale = (lam_p + 2.0 * G_p) * p.vol0
+    comp_density = (p.phi_f * p.rho_f / jnp.maximum(K_f, 1e-30)) * p.vol0
+    chans = (
+        [p.mass, comp_density, comp_density * p.pw]
+        + [p.mass * p.v[:, i] for i in range(d)]
+        + [p.mass * p.a[:, i] for i in range(d)]
+        + [stiff_scale]  # LAST channel doubles as the gnorm weight
+    )
+    fN = jnp.concatenate([tcl(c) for c in chans])
+    nodes1, lam_new, nnz = pt.fused_scatter(
+        grid, box, cfg.lme_params, x_t, lam_t, act_t, fN, solve=True,
+        gnorm=True, **vkw,
+    )
+    nodes1 = _xadd(nodes1)
+    lam_f = lam_new  # frozen through the Newton loop
+    m_nodes = nodes1[:, 0]
+    m_safe = jnp.maximum(m_nodes, cfg.mass_tol)
+    has_mass = (m_nodes > cfg.mass_tol)[:, None]
+    C_nodes = nodes1[:, 1]
+    C_safe = jnp.maximum(C_nodes, cfg.mass_tol)
+    theta_n_nodes = nodes1[:, 2] / C_safe
+    Un_dt = nodes1[:, 3 : 3 + d] / m_safe[:, None]
+    Un_dt2 = nodes1[:, 3 + d : 3 + 2 * d] / m_safe[:, None]
+    diag_K = nodes1[:, -1]
+
+    # --- scatter #2: Darcy stencil diagonal (θ-row preconditioner) ---
+    darcy_w = jnp.where(act, k_perm * p.vol0 / jnp.abs(g), 0.0)
+    nodes2, _, _ = pt.fused_scatter(
+        grid, box, cfg.lme_params, x_t, lam_f, act_t, tcl(darcy_w),
+        solve=False, gnorm=True, **vkw,
+    )
+    darcy_diag = _xadd(nodes2)[:, 1]
+
+    if grid.dirichlet_mask is not None:
+        free_u = has_mass & ~grid.dirichlet_mask
+        dU_dirichlet = jnp.where(grid.dirichlet_mask, grid.dirichlet_value, 0.0)
+    else:
+        free_u = has_mass
+        dU_dirichlet = jnp.zeros((n_nodes, d), p.x.dtype)
+    if pw_dirichlet_mask is not None:
+        free_t = has_mass[:, 0] & ~pw_dirichlet_mask
+        dth_dirichlet = jnp.where(
+            pw_dirichlet_mask, pw_dirichlet_value - theta_n_nodes, 0.0
+        )
+    else:
+        free_t = has_mass[:, 0]
+        dth_dirichlet = jnp.zeros((n_nodes,), p.x.dtype)
+
+    # Nondimensionalisation scales (see the windowed path's comment)
+    diag_u = diag_K[:, None] + nm.alpha_1 * m_nodes[:, None]
+    diag_u = jnp.where(free_u, jnp.maximum(diag_u, 1e-30), 1.0)
+    diag_t = C_nodes / (gamma * dt) + darcy_diag
+    diag_t = jnp.where(free_t, jnp.maximum(diag_t, 1e-30), 1.0)
+    h_ref = jnp.asarray(grid.spacing, p.x.dtype)
+    # characteristic stress from the GLOBAL mixture table (shard-consistent
+    # under halo sharding, unlike a mean over local particle rows)
+    _lam_m, _G_m = lame_parameters(
+        mats.E[mix.soil_id], mats.nu[mix.soil_id]
+    )
+    theta_ref = jnp.mean(_lam_m + 2.0 * _G_m)
+
+    def _pack_scalar(col):
+        # scalar nodal field in row 0 of a d-vector for the grad kernel
+        return jnp.concatenate(
+            [col[:, None], jnp.zeros((col.shape[0], d - 1), col.dtype)], axis=1
+        )
+
+    # --- per-step constant gathers: ∇(velocity constant), N-samples of
+    # (α₂u̇+α₃ü, θₙ), ∇θₙ ---
+    vel_const_nodes = (nm.alpha_5 - 1.0) * Un_dt + nm.alpha_6 * Un_dt2
+    gc0, grad_vel_const = pt.fused_gather(
+        grid, box, cfg.lme_params, x_t, lam_f, act_t,
+        gN=_fill(jnp.concatenate(
+            [nm.alpha_2 * Un_dt + nm.alpha_3 * Un_dt2, theta_n_nodes[:, None]],
+            axis=1,
+        )),
+        g_grad=_fill(vel_const_nodes), **vkw,
+    )
+    const_a_p = gc0[:, :d]  # g2p(α₂u̇ₙ + α₃üₙ)
+    th_n_p = gc0[:, d]      # g2p(θₙ)
+    _, grad_th_const4 = pt.fused_gather(
+        grid, box, cfg.lme_params, x_t, lam_f, act_t,
+        g_grad=_fill(_pack_scalar(theta_n_nodes)), **vkw,
+    )
+    grad_th_const = grad_th_const4[:, 0, :]
+
+    # --- per-iteration linear transfer primitives (custom-JVP wrapped) ---
+    def _g_all_raw(z):
+        # z: (n_nodes, d+1) = [dU | dθ]
+        outN, grad_du = pt.fused_gather(
+            grid, box, cfg.lme_params, x_t, lam_f, act_t,
+            gN=_fill(z), g_grad=_fill(z[:, :d]), **vkw,
+        )
+        _, grad_dth4 = pt.fused_gather(
+            grid, box, cfg.lme_params, x_t, lam_f, act_t,
+            g_grad=_fill(_pack_scalar(z[:, d])), **vkw,
+        )
+        return outN, grad_du, grad_dth4[:, 0, :]
+
+    g_all = _linear_op(_g_all_raw)
+
+    dummy1 = tcl(jnp.zeros_like(p.mass))
+
+    def _s_all_raw(c):
+        # c: (Ns, 1 + d² + d) = [rate·V0 | G_mix flat | flow u-vector]
+        n1, _, _ = pt.fused_scatter(
+            grid, box, cfg.lme_params, x_t, lam_f, act_t, tcl(c[:, 0]),
+            G_t=tcl(c[:, 1 : 1 + d * d]), solve=False, **vkw,
+        )
+        n1 = _xadd(n1)
+        G_flow = jnp.zeros((c.shape[0], d, d), c.dtype).at[:, 0, :].set(
+            c[:, 1 + d * d :]
+        )
+        n2, _, _ = pt.fused_scatter(
+            grid, box, cfg.lme_params, x_t, lam_f, act_t, dummy1,
+            G_t=tcl(G_flow.reshape(-1, d * d)), solve=False, **vkw,
+        )
+        n2 = _xadd(n2)
+        return n1[:, 0], n1[:, 1 : 1 + d], n2[:, 1]
+
+    s_all = _linear_op(_s_all_raw)
+
+    def local_state(zm):
+        """Nonlinear per-particle state from the masked nodal unknown."""
+        outN, grad_du, grad_dth = g_all(zm)
+        g_dU = outN[:, :d]
+        g_dth = outN[:, d]
+        DF = grad_du + eye
+        F_n1 = tn.bmm(DF, p.F)
+        J_n1 = jnp.maximum(tn.det(F_n1), 1e-8)
+        dt_DF = nm.alpha_4 * grad_du + grad_vel_const
+        dFdt_n1 = kin.rate_deformation_gradient_n1(dt_DF, p.F, DF, p.dFdt)
+        Finv = tn.inv(jnp.where(sel3, F_n1, eye))
+        dJdt_n1 = J_n1 * tn.trace(tn.bmm(dFdt_n1, Finv))
+        theta_n1_p = th_n_p + g_dth
+        dth_dt_p = (g_dth - (1.0 - gamma) * dt * p.dpw_dt) / (gamma * dt)
+        cs = con.stress_integration(
+            F_n1=F_n1, DF=DF, dFdt_n1=dFdt_n1, bemi=p.bemi, bemi_zz=p.bemi_zz,
+            eps=p.eps, kappa=p.kappa, back_stress=p.back_stress,
+            mat_id=mix.soil_id[mid], mats=mats, kinds=cfg.kinds,
+        )
+        return (DF, F_n1, J_n1, dFdt_n1, dJdt_n1, theta_n1_p, dth_dt_p, cs,
+                g_dU, grad_dth, Finv)
+
+    def residual(z):
+        dU = jnp.where(free_u, z[:, :d], dU_dirichlet)
+        dth = jnp.where(free_t, z[:, d], dth_dirichlet)
+        zm = jnp.concatenate([dU, dth[:, None]], axis=1)
+        (DF, F_n1, J_n1, _dFdt, dJdt_n1, theta_n1_p, dth_dt_p, cs,
+         g_dU, grad_dth, Finv) = local_state(zm)
+        # --- u rows: mixture internal forces G = V0·(τ' − θ·I)·DF⁻ᵀ ---
+        tau_tot = cs.tau - theta_n1_p[:, None, None] * eye
+        G_mix = tn.bmm(
+            tau_tot * p.vol0[:, None, None],
+            tn.inv_transpose(jnp.where(sel3, DF, eye)),
+        )
+        G_mix = jnp.where(sel3, G_mix, 0.0)
+        # --- θ rows: storage rate + jacobian rate ---
+        rho_f_n1 = rho_f0 * jnp.exp(
+            (theta_n1_p / J_n1 - p.pw0) / jnp.maximum(K_f, 1e-30)
+        )
+        phi_f_n1 = 1.0 - (1.0 - phi_f0) / J_n1
+        rate = (phi_f_n1 * rho_f_n1 / jnp.maximum(K_f, 1e-30)) * dth_dt_p + (
+            rho_f_n1 * dJdt_n1
+        )
+        rate_ch = jnp.where(act, rate * p.vol0, 0.0)
+        # --- θ rows: Darcy + fluid-inertia flow, one ∇N contraction:
+        # GRAD_A·w = ∇N_A·(F_n·w)  with  w = k·F⁻¹·(F⁻ᵀ·GRADθ + Jρ_f(a−b))
+        grad_th = grad_th_const + grad_dth  # spatial ∇θ_{n+1} at config n
+        GRAD_th = jnp.einsum("pji,pj->pi", p.F, grad_th)
+        a_n1_p = nm.alpha_1 * g_dU - const_a_p
+        dyn = a_n1_p - body_accel[None, :]
+        w_vec = k_perm[:, None] * (
+            jnp.einsum("pij,pj->pi", Finv,
+                       jnp.einsum("pji,pj->pi", Finv, GRAD_th))
+            + jnp.einsum("pij,pj->pi", Finv, dyn)
+            * (J_n1 * rho_f_n1)[:, None]
+        )
+        u_vec = jnp.where(
+            act[:, None],
+            jnp.einsum("pij,pj->pi", p.F, w_vec) * p.vol0[:, None],
+            0.0,
+        )
+        R_rate, R_u_int, flow_sum = s_all(
+            jnp.concatenate(
+                [rate_ch[:, None], G_mix.reshape(-1, d * d), u_vec], axis=1
+            )
+        )
+        R_u = R_u_int + m_nodes[:, None] * (
+            nm.alpha_1 * dU
+            - nm.alpha_2 * Un_dt
+            - nm.alpha_3 * Un_dt2
+            - body_accel[None, :]
+        )
+        R_t = R_rate - (1.0 / g) * flow_sum
+        # nondimensionalised rows (same scheme as the windowed path)
+        R_u = jnp.where(free_u, R_u / (diag_u * h_ref), 0.0)
+        R_t = jnp.where(free_t, R_t / (diag_t * theta_ref), 0.0)
+        return jnp.concatenate([R_u, R_t[:, None]], axis=-1)
+
+    def M_inv(r):
+        # column scaling: undo the nondimensionalisation on the unknown side
+        return jnp.concatenate(
+            [r[:, :d] * h_ref, (r[:, d] * theta_ref)[:, None]], axis=-1
+        )
+
+    res = solvers.newton_krylov(
+        residual,
+        jnp.zeros((n_nodes, d + 1), p.x.dtype),
+        M_inv=M_inv,
+        tol=cfg.newton_tol,
+        maxiter=cfg.newton_maxiter,
+        cg_tol=cfg.krylov_tol,
+        cg_maxiter=cfg.krylov_maxiter,
+        linear="gmres",
+        threshold_mode="rel",
+        axis_name=halo.axis_name if halo is not None else None,
+    )
+    dU = jnp.where(free_u, res.x[:, :d], dU_dirichlet)
+    dth = jnp.where(free_t, res.x[:, d], dth_dirichlet)
+
+    dU_dt = nm.alpha_4 * dU + (nm.alpha_5 - 1.0) * Un_dt + nm.alpha_6 * Un_dt2
+    dU_dt2 = nm.alpha_1 * dU - nm.alpha_2 * Un_dt - (nm.alpha_3 + 1.0) * Un_dt2
+
+    zm = jnp.concatenate([dU, dth[:, None]], axis=1)
+    (DF, F_n1, J_n1, dFdt_n1, dJdt_n1, theta_n1_p, dth_dt_p, cs,
+     _g_dU, _grad_dth, _Finv) = local_state(zm)
+    rho_f_n1 = rho_f0 * jnp.exp(
+        (theta_n1_p / J_n1 - p.pw0) / jnp.maximum(K_f, 1e-30)
+    )
+    phi_s_n1 = phi_s0 / J_n1
+    phi_f_n1 = 1.0 - (1.0 - phi_f0) / J_n1
+    rho_mix = p.rho_s * phi_s_n1 + rho_f_n1 * phi_f_n1
+
+    a_blend = cfg.alpha_blend
+    gfields = jnp.concatenate(
+        [dU, dU_dt + (1.0 - a_blend) * Un_dt, dU_dt2], axis=1
+    )
+    gout, _ = pt.fused_gather(
+        grid, box, cfg.lme_params, x_t, lam_f, act_t, gN=_fill(gfields), **vkw,
+    )
+    dis_inc, dv, da = gout[:, 0:d], gout[:, d : 2 * d], gout[:, 2 * d : 3 * d]
+
+    sel = act[:, None]
+    p_out = p.replace(
+        x=jnp.where(sel, p.x + dis_inc, p.x),
+        dis=jnp.where(sel, p.dis + dis_inc, p.dis),
+        v=jnp.where(sel, a_blend * p.v + dv, p.v),
+        a=jnp.where(sel, p.a + da, p.a),
+        F=F_n1,
+        dFdt=dFdt_n1,
+        J=J_n1,
+        dJdt=dJdt_n1,
+        bemi=cs.bemi,
+        bemi_zz=cs.bemi_zz,
+        stress=cs.tau,
+        stress_zz=cs.tau_zz,
+        eps=cs.eps,
+        kappa=cs.kappa,
+        back_stress=cs.back_stress,
+        W=cs.W,
+        pw=jnp.where(act, theta_n1_p, p.pw),
+        dpw_dt=jnp.where(act, dth_dt_p, p.dpw_dt),
+        rho_f=jnp.where(act, rho_f_n1, p.rho_f),
+        phi_s=jnp.where(act, phi_s_n1, p.phi_s),
+        phi_f=jnp.where(act, phi_f_n1, p.phi_f),
+        rho=jnp.where(act, rho_mix, p.rho),
+        lme_lambda=pt.from_channel_leading(lam_f),
+    )
+    if local_mode:
+        p_out, lost = windowed.local_rebin(p_out, grid, box)
+    if cfg.axis_name is not None:
+        nnz = jax.lax.psum(nnz, cfg.axis_name)
+        lost = jax.lax.psum(lost, cfg.axis_name)
+    diag = dict(
+        nnz=nnz,
+        lost=lost,
+        newton_iters=res.iters,
+        newton_residual=res.residual_norm,
+        cg_iters=res.linear_iters,
+        converged=res.converged,
+    )
+    return p_out, diag
+
+
 def run(p, grid, mats, mix, cfg, n_steps, body_accel=None,
         pw_dirichlet_mask=None, pw_dirichlet_value=None):
     if body_accel is None:
         body_accel = jnp.zeros((p.dim,), p.x.dtype)
-    if cfg.transfer == "windowed":
+    if cfg.transfer in ("windowed", "pallas"):
         from .explicit import to_slot_layout
 
         p = to_slot_layout(p, grid, cfg.active_box)

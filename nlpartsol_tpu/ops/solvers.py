@@ -330,6 +330,7 @@ def newton_krylov(
     linear: str = "cg",
     axis_name: Optional[str] = None,
     forcing: str = "ew",
+    threshold_mode: str = "abs1",
 ) -> NewtonResult:
     """Newton's method with matrix-free Jacobian-vector products.
 
@@ -365,7 +366,15 @@ def newton_krylov(
 
     x0 = vary_like(x0, r0)
     r0_norm = jnp.sqrt(_vdot(r0, r0))
-    threshold = tol * jnp.maximum(1.0, r0_norm)
+    # ``threshold_mode``: 'abs1' (default) = tol·max(1, ‖R₀‖), the
+    # reference's SNES rtol semantics for raw (dimensional) residuals whose
+    # magnitudes are ≫ 1.  'rel' = tol·‖R₀‖, for nondimensionalised
+    # residuals (up/upw monolithic rows) where ‖R₀‖ ≤ 1 would otherwise
+    # turn tol into a too-loose absolute test that accepts x₀ unsolved.
+    if threshold_mode == "rel":
+        threshold = tol * r0_norm
+    else:
+        threshold = tol * jnp.maximum(1.0, r0_norm)
     # Float32 noise floor: P2G reductions accumulate O(100s·eps) of relative
     # error, so ||R|| plateaus around ~1e3·eps·||R_0|| no matter how many
     # Newton iterations run (the reference's 1e-5 TOL assumes f64).  Detect
