@@ -288,6 +288,7 @@ def up_step(
         nnz=nnz,
         newton_iters=res.iters,
         newton_residual=res.residual_norm,
+        cg_iters=res.linear_iters,
         converged=res.converged,
         lost=lost,
     )

@@ -886,6 +886,7 @@ def upw_newmark_step(
         lost=lost,
         newton_iters=res.iters,
         newton_residual=res.residual_norm,
+        cg_iters=res.linear_iters,
         converged=res.converged,
     )
     return p_out, diag

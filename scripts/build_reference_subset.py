@@ -235,22 +235,30 @@ def main():
     sources.append(os.path.join(BUILD, "driver-nl-partsol.c"))
     sources.append(os.path.join(BUILD, "snes_stubs.c"))
 
-    cmd = (
-        ["gcc", "-O2", "-g", "-fcommon", "-DUSE_PLAINSTRAIN", "-D__unix__",
-         # force the petsc stub into every TU: some headers (U-Static.h)
-         # use PetscErrorCode without including a petsc header themselves
-         "-include", os.path.join(shim, "petscsys.h"),
-         "-I", os.path.join(BUILD, "src"), "-I", shim]
-        + sources
-        + ["-o", os.path.join(BUILD, "nl-partsol"),
-           "-l:liblapack.so.3", "-l:libblas.so.3", "-lm", "-fopenmp"]
-    )
-    print(" ".join(cmd[:12]), f"... ({len(sources)} sources)")
-    r = subprocess.run(cmd, capture_output=True, text=True)
-    if r.returncode != 0:
-        sys.stderr.write(r.stderr[-8000:])
-        sys.exit(1)
-    print("built:", os.path.join(BUILD, "nl-partsol"))
+    # Two binaries from the same patched tree: the reference's 2D/3D switch
+    # is the COMPILE-TIME macro USE_PLAINSTRAIN (src/Macros.h:31-35), so a
+    # 3D run needs its own executable (used by the dem_bar3d e2e gate).
+    for out_name, dim_flags in (
+        ("nl-partsol", ["-DUSE_PLAINSTRAIN"]),
+        ("nl-partsol-3d", []),
+    ):
+        cmd = (
+            ["gcc", "-O2", "-g", "-fcommon", "-D__unix__"] + dim_flags
+            + [
+             # force the petsc stub into every TU: some headers (U-Static.h)
+             # use PetscErrorCode without including a petsc header themselves
+             "-include", os.path.join(shim, "petscsys.h"),
+             "-I", os.path.join(BUILD, "src"), "-I", shim]
+            + sources
+            + ["-o", os.path.join(BUILD, out_name),
+               "-l:liblapack.so.3", "-l:libblas.so.3", "-lm", "-fopenmp"]
+        )
+        print(" ".join(cmd[:12]), f"... ({len(sources)} sources)")
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-8000:])
+            sys.exit(1)
+        print("built:", os.path.join(BUILD, out_name))
 
 
 # ---------------------------------------------------------------------------
@@ -277,7 +285,88 @@ PATCHES = [
     # restore the obvious intent so the SVK material path is drivable
     ("src/Constitutive/Hyperelastic/Saint-Venant-Kirchhoff.c",
      "double trE;// = I1__TensorLib__(E);",
-     "double trE = E.N[0][0] + E.N[1][1]; " + P, 1),  # I1 moved to the flat double* API mid-refactor; 2D trace inline
+     "double trE = E.N[0][0] + E.N[1][1]"
+     " + (NumberDimensions == 3 ? E.N[2][2] : 0.0); " + P,
+     1),  # I1 moved to the flat double* API mid-refactor; trace inline
+    # symmetrise__TensorLib__ 3D branch uses the old Tensor .N member on a
+    # double* (never compiled: only the 2D USE_PLAINSTRAIN build was
+    # exercised upstream) — flat-index the obvious intent so the 3D binary
+    # links (TensorLib.c:919-926)
+    # inverse/transpose-inverse 3D staging blocks: stray ',' and '};'
+    # (same never-compiled 3D branch family, TensorLib.c:765-853 — only the
+    # 2D USE_PLAINSTRAIN build was exercised upstream)
+    ("src/Matlib/TensorLib.c",
+     "  A_mT[2] = A[6],", "  A_mT[2] = A[6];", 1),
+    ("src/Matlib/TensorLib.c",
+     "  A_mT[8] = A[8]};", "  A_mT[8] = A[8];", 1),
+    ("src/Matlib/TensorLib.c",
+     "A_m1[2] = A[2],", "A_m1[2] = A[2];", 1),
+    ("src/Matlib/TensorLib.c",
+     "A_m1[8] = A[8]};", "A_m1[8] = A[8];", 1),
+    # U-Analisys field allocators, 3D branch: the zz diagonal of the 9-wide
+    # row-major tensors is index 8, not 9 — heap overflow on every particle
+    # init (ASan-caught; U-Analisys.c:41,71,98; the 2D build never runs it)
+    ("src/Formulations/Displacements/U-Analisys.c",
+     "Phi.F_n.nM[p][9] = Phi.F_n1.nM[p][9] = Phi.DF.nM[p][9] = 1.0;",
+     "Phi.F_n.nM[p][8] = Phi.F_n1.nM[p][8] = Phi.DF.nM[p][8] = 1.0;", 1),
+    ("src/Formulations/Displacements/U-Analisys.c",
+     "Phi.b_e_n.nM[p][9] = 1.0;", "Phi.b_e_n.nM[p][8] = 1.0;", 1),
+    ("src/Formulations/Displacements/U-Analisys.c",
+     "Phi.Fbar.nM[p][9] = 0.0;", "Phi.Fbar.nM[p][8] = 0.0;", 1),
+    # List_Particles_Node is only allocated when the EigenErosion /
+    # EigenSoftening drivers are active (Read_GramsBox.c:131-136); Q4 guards
+    # its push accordingly (Q4.c:94-96) but the shared helper used by
+    # H8/T3/T4 pushes unconditionally into the NULL table — segfault on any
+    # non-fracture 3D run (Particles-Tools.c:89-97)
+    ("src/Particles/Particles-Tools.c",
+     "  push__SetLib__(&FEM_Mesh.List_Particles_Node[I0], p);\n"
+     "  FEM_Mesh.Num_Particles_Node[I0] += 1;",
+     "  if ((Driver_EigenErosion == true) || (Driver_EigenSoftening == true)) {\n"
+     "    push__SetLib__(&FEM_Mesh.List_Particles_Node[I0], p);\n"
+     "    FEM_Mesh.Num_Particles_Node[I0] += 1;\n"
+     "  }", 1),
+    # particle mass/volume/density initialisation is gated to 2D mid-refactor
+    # (Generate-One-Phase-Analysis.c:243-245) — every particle would carry
+    # zero mass in 3D; initialise_particles itself is dim-generic (its
+    # volume_Element dispatches to volume__H8__/volume__T4__)
+    ("src/InOutFun/Analysis/Generate-One-Phase-Analysis.c",
+     "    if (Ndim == 2) {\n"
+     "      initialise_particles(MPM_GID_Mesh, MPM_Mesh, Msh_Parms.GPxElement);\n"
+     "    }",
+     "    initialise_particles(MPM_GID_Mesh, MPM_Mesh, Msh_Parms.GPxElement);"
+     " " + P, 1),
+    # I1__TensorLib__ 3D branch assigns the undeclared I3 (TensorLib.c:120)
+    ("src/Matlib/TensorLib.c",
+     "    I3 = A[0] + A[4] + A[8];", "    I1 = A[0] + A[4] + A[8];", 1),
+    # Inverse_Tensor 3D determinant written for the flat double* API against
+    # the Tensor .N[i][j] storage (plus the 'detA.N' typo) — row-major
+    # remap A[k] -> A.N[k/3][k%3] (TensorLib.c:270-281)
+    ("src/Matlib/TensorLib.c",
+     "double detA.N = A.N[0] * A.N[4] * A.N[8] \n"
+     "       - A.N[0] * A.N[5] * A.N[7] \n"
+     "       + A.N[1] * A.N[5] * A.N[6] \n"
+     "       - A.N[1] * A.N[3] * A.N[8] \n"
+     "       + A.N[2] * A.N[3] * A.N[7] \n"
+     "       - A.N[2] * A.N[4] * A.N[6];",
+     "double detA = A.N[0][0] * A.N[1][1] * A.N[2][2] \n"
+     "       - A.N[0][0] * A.N[1][2] * A.N[2][1] \n"
+     "       + A.N[0][1] * A.N[1][2] * A.N[2][0] \n"
+     "       - A.N[0][1] * A.N[1][0] * A.N[2][2] \n"
+     "       + A.N[0][2] * A.N[1][0] * A.N[2][1] \n"
+     "       - A.N[0][2] * A.N[1][1] * A.N[2][0];", 1),
+    ("src/Matlib/TensorLib.c",
+     "  symA.N[0] = A.N[0];\n"
+     "  symA.N[1] = symA.N[3] = 0.5 * (A.N[1] + A.N[3]);\n"
+     "  symA.N[2] = symA.N[6] = 0.5 * (A.N[2] + A.N[6]);\n"
+     "  symA.N[4] = A.N[4];\n"
+     "  symA.N[5] = symA.N[7] = 0.5 * (A.N[5] + A.N[7]);\n"
+     "  symA.N[8] = A.N[8];",
+     "  symA[0] = A[0];\n"
+     "  symA[1] = symA[3] = 0.5 * (A[1] + A[3]);\n"
+     "  symA[2] = symA[6] = 0.5 * (A[2] + A[6]);\n"
+     "  symA[4] = A[4];\n"
+     "  symA[5] = symA[7] = 0.5 * (A[5] + A[7]);\n"
+     "  symA[8] = A[8];", 1),
     # genuine double free: free(nV) then free__MatrixLib__ frees nV again
     (UPW_NB,
      "  free(Effective_Mass.nV);\n  free(IPIV);\n  free__MatrixLib__(Effective_Mass);",

@@ -38,7 +38,9 @@ import sys
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DECKS = ("dem_bar", "dem_svk_bar")
+# deck -> spatial dimension (3D decks run the nl-partsol-3d binary: the
+# reference's 2D/3D switch is the compile-time USE_PLAINSTRAIN macro)
+DECKS = {"dem_bar": 2, "dem_svk_bar": 2, "dem_bar3d": 3}
 RUN = "/tmp/refrun_e2e"
 STEPS = (0, 5, 10, 15, 19)
 
@@ -81,7 +83,7 @@ def read_vtk(path):
     return fields
 
 
-def make_one(binary, deck_name):
+def make_one(binary, deck_name, dim):
     DECK = os.path.join(REPO, "tests", "golden", deck_name)
     if os.path.exists(RUN):
         shutil.rmtree(RUN)
@@ -99,28 +101,42 @@ def make_one(binary, deck_name):
         f = read_vtk(os.path.join(RUN, "out", f"Particles_{step}.vtk"))
         x, v, s = f["x"], f["VELOCITY"], f["STRESS"]
         for p in range(x.shape[0]):
-            rows.append(
-                [step, p, x[p, 0], x[p, 1], v[p, 0], v[p, 1],
-                 s[p, 0, 0], s[p, 0, 1], s[p, 1, 1]]
-            )
+            if dim == 2:
+                rows.append(
+                    [step, p, x[p, 0], x[p, 1], v[p, 0], v[p, 1],
+                     s[p, 0, 0], s[p, 0, 1], s[p, 1, 1]]
+                )
+            else:
+                rows.append(
+                    [step, p, x[p, 0], x[p, 1], x[p, 2],
+                     v[p, 0], v[p, 1], v[p, 2],
+                     s[p, 0, 0], s[p, 0, 1], s[p, 0, 2],
+                     s[p, 1, 1], s[p, 1, 2], s[p, 2, 2]]
+                )
+    header = (
+        "step,pid,x,y,vx,vy,sxx,sxy,syy" if dim == 2
+        else "step,pid,x,y,z,vx,vy,vz,sxx,sxy,sxz,syy,syz,szz"
+    )
     out = os.path.join(DECK, "trajectory.csv")
     np.savetxt(
         out, np.array(rows), delimiter=",",
-        header="step,pid,x,y,vx,vy,sxx,sxy,syy", comments="", fmt="%.17g",
+        header=header, comments="", fmt="%.17g",
     )
     print(f"{out}: {len(rows)} rows")
 
 
 def main():
-    binary = "/tmp/refbuild/nl-partsol"
-    if not os.path.exists(binary):
+    if not os.path.exists("/tmp/refbuild/nl-partsol") or not os.path.exists(
+        "/tmp/refbuild/nl-partsol-3d"
+    ):
         subprocess.run(
             [sys.executable,
              os.path.join(REPO, "scripts", "build_reference_subset.py")],
             check=True,
         )
-    for deck_name in DECKS:
-        make_one(binary, deck_name)
+    for deck_name, dim in DECKS.items():
+        binary = "/tmp/refbuild/nl-partsol" + ("-3d" if dim == 3 else "")
+        make_one(binary, deck_name, dim)
 
 
 if __name__ == "__main__":

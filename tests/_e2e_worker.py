@@ -1,12 +1,16 @@
 """End-to-end head-to-head worker (run by tests/test_reference_e2e.py in a
 subprocess: float64 + x64 mode must not leak into the main test process).
 
-Runs the committed reference deck (tests/golden/dem_bar/sim.nlp) through
-OUR pipeline — .nlp parser -> builder -> DEM implicit step with the
-reference's average-strain stress rule — in float64, and asserts agreement
-with the reference binary's trajectory (tests/golden/dem_bar/trajectory.csv,
+Runs a committed reference deck (tests/golden/<deck>/sim.nlp) through OUR
+pipeline — .nlp parser -> builder -> DEM implicit step with the reference's
+average-strain stress rule — in float64, and asserts agreement with the
+reference binary's trajectory (tests/golden/<deck>/trajectory.csv,
 scripts/make_reference_e2e_golden.py) far inside the reference's own
 Newton tolerance TOL_NR = 1e-5 (src/Macros.h:40).
+
+Decks: dem_bar / dem_svk_bar (2D, nl-partsol with USE_PLAINSTRAIN) and
+dem_bar3d (3D, nl-partsol-3d — the reference's 2D/3D switch is a compile
+macro, Macros.h:31-35).
 """
 
 import os
@@ -42,27 +46,37 @@ def main():
         os.path.join(deck, "trajectory.csv"), delimiter=",", names=True
     )
     assert setup.solver.scheme == "Discrete-Energy-Momentum"
+    d = setup.grid.dim
     cfg = make_step_config(setup, transfer="scatter").replace(
         stress_mode="average-strain"
     )
     step = jax.jit(dem_step, static_argnums=(3,))
     p = setup.particles
-    body = jnp.zeros((2,), jnp.float64)
+    body = jnp.zeros((d,), jnp.float64)
     states = {}
     for k in range(setup.solver.n_steps):
         p, diag = step(p, setup.grid, setup.materials, cfg, body)
         assert bool(diag["converged"])
         states[k] = (np.array(p.x), np.array(p.v), np.array(p.F))
 
+    xcols = ["x", "y", "z"][:d]
+    vcols = ["vx", "vy", "vz"][:d]
+    # upper-triangle stress components present in the golden CSV
+    scols = (
+        [("sxx", 0, 0), ("sxy", 0, 1), ("syy", 1, 1)] if d == 2
+        else [("sxx", 0, 0), ("sxy", 0, 1), ("sxz", 0, 2),
+              ("syy", 1, 1), ("syz", 1, 2), ("szz", 2, 2)]
+    )
+
     # particle correspondence: the reference's ChainPtr stack reverses
     # element connectivity => its per-element Gauss order is a fixed
     # permutation; match by position at the first output state
     g0 = gold[gold["step"] == 0]
-    gx0 = np.stack([g0["x"], g0["y"]], -1)
-    d = np.linalg.norm(gx0[:, None, :] - states[0][0][None, :, :], axis=-1)
-    perm = d.argmin(axis=1)
+    gx0 = np.stack([g0[c] for c in xcols], -1)
+    dist = np.linalg.norm(gx0[:, None, :] - states[0][0][None, :, :], axis=-1)
+    perm = dist.argmin(axis=1)
     assert len(set(perm)) == len(perm), "particle matching not a bijection"
-    assert d.min(axis=1).max() < 1e-9, "first-state positions do not match"
+    assert dist.min(axis=1).max() < 1e-9, "first-state positions do not match"
 
     lam, G = lame_parameters(
         setup.materials.E[setup.particles.mat_id],
@@ -70,13 +84,13 @@ def main():
     )
     lam = np.array(lam)[perm]
     G = np.array(G)[perm]
-    eye = np.eye(2)
+    eye = np.eye(d)
 
     # golden step k = state after step k (Particles_k.vtk convention)
     for gs in (0, 5, 10, 15, 19):
         gk = gold[gold["step"] == gs]
-        gx = np.stack([gk["x"], gk["y"]], -1)
-        gv = np.stack([gk["vx"], gk["vy"]], -1)
+        gx = np.stack([gk[c] for c in xcols], -1)
+        gv = np.stack([gk[c] for c in vcols], -1)
         x_o, v_o, F1 = states[gs]
         F0 = states[gs - 1][2] if gs > 0 else np.array(setup.particles.F)
         np.testing.assert_allclose(x_o[perm], gx, rtol=0, atol=1e-8)
@@ -101,9 +115,10 @@ def main():
                 :, None, None
             ] * (eye[None] - Cinv)
         scale = max(1.0, np.abs(gk["sxx"]).max())
-        np.testing.assert_allclose(S[:, 0, 0], gk["sxx"], rtol=0, atol=1e-6 * scale)
-        np.testing.assert_allclose(S[:, 0, 1], gk["sxy"], rtol=0, atol=1e-6 * scale)
-        np.testing.assert_allclose(S[:, 1, 1], gk["syy"], rtol=0, atol=1e-6 * scale)
+        for name, i, j in scols:
+            np.testing.assert_allclose(
+                S[:, i, j], gk[name], rtol=0, atol=1e-6 * scale
+            )
     print("E2E_PARITY_OK")
 
 

@@ -26,12 +26,15 @@ import sys
 import pytest
 
 
-@pytest.mark.parametrize("deck", ["dem_bar", "dem_svk_bar"])
+@pytest.mark.parametrize("deck", ["dem_bar", "dem_svk_bar", "dem_bar3d"])
 def test_dem_matches_reference_binary(deck):
-    """Two independent trajectories (VERDICT r3 #10): Neo-Hookean nu=0 and
-    Saint-Venant-Kirchhoff nu=0.3 (the reference's SVK 2PK drivable after
-    restoring its commented-out trE initialiser — build_reference_subset.py
-    PATCHES)."""
+    """Three independent trajectories: Neo-Hookean nu=0 and
+    Saint-Venant-Kirchhoff nu=0.3 in 2D (VERDICT r3 #10), and the 3D H8 bar
+    (VERDICT r4 #7) against the nl-partsol-3d binary — the reference's
+    never-exercised 3D leg, drivable after six documented mid-refactor
+    fixes (TensorLib 3D-branch typos, the U-Analisys [9]->[8] diagonal
+    overflow, the 2D-gated initialise_particles, the NULL
+    List_Particles_Node push — build_reference_subset.py PATCHES)."""
     worker = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "_e2e_worker.py"
     )
