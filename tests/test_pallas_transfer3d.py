@@ -117,9 +117,13 @@ def test_gather3_matches_windowed_g2p_and_gradient():
                                rtol=3e-4, atol=3e-5)
 
 
-def test_mosaic3_kernels_interpret_parity():
+@pytest.mark.parametrize("layout", ["rows", "merged"])
+def test_mosaic3_kernels_interpret_parity(layout):
     """The REAL 3D Mosaic kernels (interpret mode) vs the XLA fallback —
-    guards the kernel code itself on CPU; TPU runs use it compiled."""
+    guards the kernel code itself on CPU; TPU runs use it compiled.
+    Parametrized over the two kernel layouts (module docstring)."""
+    from nlpartsol_tpu.ops import pallas_transfer3d as pt3
+
     grid, box, p, params = _problem3(seed=21, n_side=7, n_particles=30)
     sf, offsets, mask = _oracle(grid, box, p, params)
     x_t, lam_t, act_t = _tr(p, box)
@@ -138,6 +142,7 @@ def test_mosaic3_kernels_interpret_parity():
     ref_ga = pt.fused_gather(grid, box, params, x_t, lam_conv, act_t,
                              gN=field, g_grad=field, margin=margin)
     pt.FORCE_INTERPRET = True
+    pt3.LAYOUT3D = layout
     try:
         got_sc = pt.fused_scatter(grid, box, params, x_t, lam_t, act_t, fN,
                                   G_t=G_t, solve=True, margin=margin)
@@ -145,6 +150,7 @@ def test_mosaic3_kernels_interpret_parity():
                                  gN=field, g_grad=field, margin=margin)
     finally:
         pt.FORCE_INTERPRET = False
+        pt3.LAYOUT3D = "auto"
     np.testing.assert_allclose(np.asarray(got_sc[0]), np.asarray(ref_sc[0]),
                                rtol=2e-4, atol=1e-5)
     assert int(got_sc[2]) == int(ref_sc[2])
@@ -153,6 +159,47 @@ def test_mosaic3_kernels_interpret_parity():
                                np.asarray(ref_ga[0])[sel], rtol=2e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_ga[1])[sel],
                                np.asarray(ref_ga[1])[sel], rtol=2e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("layout", ["rows", "merged"])
+def test_view_cache_and_lam_view_out(layout):
+    """make_views3 + lam_view_out round trip (the per-step view cache the
+    3D steps use; explicit.py) under both kernel layouts."""
+    from nlpartsol_tpu.ops import pallas_transfer3d as pt3
+
+    grid, box, p, params = _problem3(seed=31, n_side=7, n_particles=30)
+    x_t, lam_t, act_t = _tr(p, box)
+    C, nc = box.capacity, box.n_cells
+    fN = pt.to_channel_leading(p.mass, C, nc)
+    ref_sc = pt.fused_scatter(grid, box, params, x_t, lam_t, act_t, fN,
+                              solve=True)
+    pt.FORCE_INTERPRET = True
+    pt3.FORCE_INTERPRET = True
+    pt3.LAYOUT3D = layout
+    try:
+        xv, lamv, av = pt3.make_views3(grid, box, params, x_t, lam_t, act_t)
+        nodes, lamv2, nnz = pt.fused_scatter(
+            grid, box, params, x_t, lam_t, act_t, fN, solve=True,
+            xv=xv, lamv=lamv, av=av, lam_view_out=True,
+        )
+        lam_back = pt3.lam_from_view3(grid, box, params, lamv2)
+    finally:
+        pt.FORCE_INTERPRET = False
+        pt3.FORCE_INTERPRET = False
+        pt3.LAYOUT3D = "auto"
+    np.testing.assert_allclose(np.asarray(nodes), np.asarray(ref_sc[0]),
+                               rtol=2e-4, atol=1e-5)
+    sel = np.asarray(p.active)
+    np.testing.assert_allclose(
+        np.asarray(lam_back)[...].reshape(3, -1).T[
+            np.asarray(pt.from_channel_leading(act_t)[:, 0] > 0.5)
+        ],
+        np.asarray(pt.from_channel_leading(ref_sc[1]))[
+            np.asarray(pt.from_channel_leading(act_t)[:, 0] > 0.5)
+        ],
+        rtol=1e-4, atol=1e-5,
+    )
+    assert int(nnz) == int(ref_sc[2])
 
 
 def test_explicit_step_pallas_3d_matches_windowed():
