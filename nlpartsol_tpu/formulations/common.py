@@ -13,10 +13,19 @@ def shapefun_eval(cfg, grid, p):
         # unstructured T3/Q4/T4/H8 background mesh: isoparametric elements
         # or meshfree LME over the node cloud (window offsets are
         # meaningless — the ScatterEngine routes P2G/G2P through the
-        # per-particle node_ids pattern)
+        # per-particle node_ids pattern; the binned fast path stages
+        # candidates by static bin shifts instead, ops/binpair.py)
         if cfg.shapefun == "fem":
             return femesh.evaluate(grid, p.x), None
         if cfg.shapefun == "lme":
+            if cfg.transfer == "binned":
+                return (
+                    femesh.evaluate_lme_binned(
+                        grid, p.x, p.lme_lambda, p.active, cfg.lme_params,
+                        cfg.active_box,
+                    ),
+                    None,
+                )
             return femesh.evaluate_lme(grid, p.x, p.lme_lambda, cfg.lme_params), None
         raise ValueError(
             "unstructured background meshes support shapefun='fem' or 'lme'"
@@ -55,6 +64,18 @@ def make_engine(cfg, grid, sf, offsets, mask):
             # (parallel/domain.py); grid/active_box are the LOCAL templates
             return transfer.HaloEngine(grid, cfg.active_box, offsets, mask, cfg.halo)
         return transfer.WindowedEngine(grid, cfg.active_box, offsets, mask, cfg.axis_name)
+    if cfg.transfer == "binned":
+        from ..ops.binpair import BinPairEngine
+
+        if not isinstance(grid, femesh.FEMesh) or cfg.shapefun != "lme":
+            raise ValueError(
+                "binned transfer is the meshfree-LME fast path on FEMesh "
+                "node clouds (shapefun='lme')"
+            )
+        if cfg.active_box is None:
+            raise ValueError("binned transfer requires cfg.active_box "
+                             "(femesh.bin_box)")
+        return BinPairEngine(grid, cfg.active_box, mask)
     return transfer.ScatterEngine(grid, sf["node_ids"], mask, cfg.axis_name)
 
 

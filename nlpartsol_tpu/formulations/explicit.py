@@ -202,8 +202,16 @@ def explicit_step(
     n_nodes = grid.n_nodes
 
     lost = jnp.zeros((), jnp.int32)
-    if cfg.transfer == "windowed" and not cfg.prebinned:
-        binning = windowed.bin_particles(grid, cfg.active_box, p.x, p.active)
+    if cfg.transfer in ("windowed", "binned") and not cfg.prebinned:
+        # binned: the same slot machinery over the node-bin pseudo-grid
+        # (ops/binpair.py); particles re-bin by support-radius bin per step
+        if cfg.transfer == "windowed":
+            bgrid = grid
+        else:
+            from ..shapefun import femesh as femesh_mod
+
+            bgrid = femesh_mod.bin_grid(grid)
+        binning = windowed.bin_particles(bgrid, cfg.active_box, p.x, p.active)
         if traction is not None:
             idx = jnp.minimum(binning.slot_particle, traction.shape[0] - 1)
             traction = jnp.where(binning.valid[:, None], traction[idx], 0.0)
@@ -659,6 +667,10 @@ def run(
         body_accel = jnp.zeros((d,), p.x.dtype)
     if cfg.transfer in ("windowed", "pallas"):
         p = to_slot_layout(p, grid, cfg.active_box)
+    elif cfg.transfer == "binned":
+        from ..shapefun import femesh as femesh_mod
+
+        p = to_slot_layout(p, femesh_mod.bin_grid(grid), cfg.active_box)
 
     def body(carry, i):
         pp = carry

@@ -97,6 +97,10 @@ class FEMesh:
     nbin_spacing: float = struct.field(pytree_node=False, default=None)
     nbin_dims: tuple = struct.field(pytree_node=False, default=None)
     nbin_nodes: jax.Array = None  # (Nbins, Bmax) int32, -1 padded
+    # inverse of nbin_nodes: flat (bin·Bmax + slot) position of each node
+    # (every node lives in exactly one bin) — the bin-pair engine's
+    # slots→nodes readback (ops/binpair.py)
+    nbin_slot_of: jax.Array = None  # (Nn,) int32
 
     @property
     def dim(self) -> int:
@@ -361,11 +365,45 @@ def with_node_bins(mesh: FEMesh, radius: float) -> FEMesh:
     for b in range(nbins):
         s, e = starts[b], starts[b + 1]
         table[b, : e - s] = order[s:e]
+    slot_of = np.zeros(coords.shape[0], np.int32)
+    pos = np.nonzero(table.reshape(-1) >= 0)[0]
+    slot_of[table.reshape(-1)[pos]] = pos
     return mesh.replace(
         nbin_origin=tuple(float(v) for v in lo),
         nbin_spacing=float(radius),
         nbin_dims=tuple(int(v) for v in bdims),
         nbin_nodes=jnp.asarray(table),
+        nbin_slot_of=jnp.asarray(slot_of),
+    )
+
+
+def bin_grid(mesh: FEMesh):
+    """Pseudo :class:`types.Grid` over the node-bin grid — lets the
+    structured slot machinery (``windowed.bin_particles`` /
+    ``permute_to_slots`` / ``to_slot_layout``) bin PARTICLES into the same
+    Cartesian bins the nodes live in (the bin-pair engine's particle
+    side, ops/binpair.py)."""
+    from ..types import Grid
+
+    if mesh.nbin_nodes is None:
+        raise ValueError("call with_node_bins(mesh, support_radius) first")
+    return Grid(
+        dims=mesh.nbin_dims,
+        spacing=mesh.nbin_spacing,
+        origin=mesh.nbin_origin,
+    )
+
+
+def bin_box(mesh: FEMesh, capacity: int):
+    """ActiveBox covering the node-bin grid exactly (the binned
+    transfer's slot box; capacity = max particles per support-radius
+    bin)."""
+    from ..ops.windowed import ActiveBox
+
+    if mesh.nbin_nodes is None:
+        raise ValueError("call with_node_bins(mesh, support_radius) first")
+    return ActiveBox(
+        offset=(0,) * mesh.dim, cdims=tuple(mesh.nbin_dims), capacity=capacity
     )
 
 
@@ -418,22 +456,90 @@ def evaluate_lme(mesh: FEMesh, x: jax.Array, lam0: jax.Array, params):
     r_sup = lme_mod.support_radius(params, mesh.h_avg)
     node_ids, valid = lme_candidates(mesh, x)
     rel = x[:, None, :] - mesh.nodes[node_ids]
-    sq = jnp.sum(rel * rel, axis=-1)
-    mask = valid & (sq <= r_sup * r_sup)
+    mask = valid & (jnp.sum(rel * rel, axis=-1) <= r_sup * r_sup)
     if mesh.active is not None:
         mask = mask & mesh.active[node_ids]
+    N, dN, lam = _lme_from_rel(rel, mask, lam0, beta, params)
+    return dict(node_ids=node_ids, N=N, dN=dN, mask=mask, lam=lam)
+
+
+def _lme_from_rel(rel, mask, lam0, beta, params):
+    """λ-Newton + N + ∇N from a padded (Np, K, d) rel/mask pattern
+    (LME.c:700-891 numerics; shared by the gather-based and the bin-pair
+    slot-dense candidate builders)."""
+    from . import lme as lme_mod
+
     lam = lme_mod.solve_lambda(rel, mask, lam0, beta, params)
+    sq = jnp.sum(rel * rel, axis=-1)
     f = -beta * sq + jnp.einsum("pi,pki->pk", lam, rel)
     N = lme_mod._masked_softmax(f, mask)
     r, J = lme_mod._r_and_J(N, rel)
-    d = x.shape[-1]
+    d = rel.shape[-1]
     Jinv = tn.inv(
         J + 1e-10 * tn.trace(J)[..., None, None] * jnp.eye(d, dtype=J.dtype)
     )
     dN = -N[..., None] * jnp.einsum("pij,pkj->pki", Jinv, rel - r[:, None, :])
     N = jnp.where(mask, N, 0.0)
     dN = jnp.where(mask[..., None], dN, 0.0)
-    return dict(node_ids=node_ids, N=N, dN=dN, mask=mask, lam=lam)
+    return N, dN, lam
+
+
+def evaluate_lme_binned(mesh: FEMesh, x, lam0, act, params, box):
+    """Slot-dense meshfree LME (the bin-pair fast path, ops/binpair.py).
+
+    ``x``/``lam0``/``act`` are SLOT-ordered over ``bin_box`` (Ns = C_p ·
+    nbins rows).  Candidates are the 3^d neighbouring bins' node slots,
+    staged by STATIC zero-padded shifts of the node slot tables instead
+    of per-particle gathers — the (Np, K) gathers are the measured cost
+    of :func:`evaluate_lme` at scale (PERF.md §unstructured).  Returns
+    the same contract with K = 3^d · C_n, in the exact per-offset order
+    :class:`~nlpartsol_tpu.ops.binpair.BinPairEngine` contracts over.
+    """
+    from . import lme as lme_mod
+    from ..ops.binpair import bin_offsets
+    from ..ops.windowed import _shift_cells
+
+    if mesh.nbin_nodes is None:
+        raise ValueError("call with_node_bins(mesh, support_radius) first")
+    d = mesh.dim
+    bdims = tuple(mesh.nbin_dims)
+    C_n = mesh.nbin_nodes.shape[1]
+    C_p = box.capacity
+    beta = lme_mod.beta_of(params, mesh.h_avg)
+    r_sup = lme_mod.support_radius(params, mesh.h_avg)
+
+    nid = mesh.nbin_nodes.reshape(bdims + (C_n,))
+    nv = nid >= 0
+    if mesh.active is not None:
+        nv = nv & mesh.active[jnp.maximum(nid, 0)]
+    ncoords = jnp.where(
+        nv[..., None], mesh.nodes[jnp.maximum(nid, 0)], 0.0
+    )
+    axes = tuple(range(d))
+    xs = x.reshape((C_p,) + bdims + (d,))
+    rels, vals, ids = [], [], []
+    for o in bin_offsets(d):
+        mo = tuple(-oo for oo in o)
+        # particles in bin b see node slots of bin b + o
+        co = _shift_cells(ncoords, bdims, mo, axes)
+        vo = _shift_cells(nv.astype(jnp.int32), bdims, mo, axes) > 0
+        io = _shift_cells(nid + 1, bdims, mo, axes) - 1  # keep -1 sentinel
+        rels.append(xs[..., None, :] - co[None])  # (C_p, bins…, C_n, d)
+        vals.append(jnp.broadcast_to(vo[None], (C_p,) + bdims + (C_n,)))
+        ids.append(jnp.broadcast_to(io[None], (C_p,) + bdims + (C_n,)))
+    K = len(rels) * C_n
+    rel = jnp.stack(rels, axis=-3).reshape(-1, K, d)
+    valid = jnp.stack(vals, axis=-2).reshape(-1, K)
+    node_ids = jnp.stack(ids, axis=-2).reshape(-1, K)
+    mask = (
+        valid
+        & (jnp.sum(rel * rel, axis=-1) <= r_sup * r_sup)
+        & act[:, None]
+    )
+    N, dN, lam = _lme_from_rel(rel, mask, lam0, beta, params)
+    return dict(
+        node_ids=jnp.maximum(node_ids, 0), N=N, dN=dN, mask=mask, lam=lam
+    )
 
 
 def from_gid(mesh, **kw) -> FEMesh:
